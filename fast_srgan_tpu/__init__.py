@@ -1,0 +1,20 @@
+"""fast_srgan_tpu — a TPU-native super-resolution GAN framework.
+
+A from-scratch JAX/Flax/Pallas rebuild of the capabilities of
+HasnainRaz/Fast-SRGAN (reference: /root/reference): a 4x single-image
+super-resolution GAN (SRGAN-style) with
+
+  * a ~926K-param residual CNN generator with pixel-shuffle upsampling
+    (reference: model.py:72-117),
+  * a PatchGAN-style strided CNN discriminator (reference: model.py:139-193),
+  * VGG19 perceptual loss (reference: model.py:5-23),
+  * two-phase training (L1 pretrain -> adversarial GAN; reference trainer.py),
+  * real-time batched inference on images/video frames (reference inference.py),
+
+redesigned TPU-first: NHWC layouts, jitted functional train steps, data
+parallelism over a `jax.sharding.Mesh`, spatial halo-exchange tiling for
+large-frame inference, bf16 mixed precision, and Pallas kernels for the
+fused hot ops.
+"""
+
+__version__ = "0.1.0"

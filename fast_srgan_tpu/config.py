@@ -1,0 +1,156 @@
+"""Hydra-style YAML config with dotted CLI overrides.
+
+The reference uses Hydra 1.1 + OmegaConf (`/root/reference/train.py:46`,
+`configs/config.yaml:1-26`, dotted overrides documented in README.md:43-48).
+Neither package is available in this environment, so this module provides a
+minimal, dependency-free equivalent preserving the public surface:
+
+  * the exact YAML schema of the reference config,
+  * `a.b.c=value` dotted CLI overrides with YAML-typed values,
+  * attribute access (`config.generator.n_filters`).
+
+New TPU-only sections (``parallel``, ``kernels``, ``inference``) get defaults
+injected here so a reference-shaped YAML keeps working unchanged.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Iterable, Mapping
+
+import yaml
+
+
+class ConfigNode(dict):
+    """A dict with attribute access, recursively wrapping nested mappings."""
+
+    def __init__(self, data: Mapping[str, Any] | None = None):
+        super().__init__()
+        if data:
+            for k, v in data.items():
+                self[k] = v
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        if isinstance(value, Mapping) and not isinstance(value, ConfigNode):
+            value = ConfigNode(value)
+        super().__setitem__(key, value)
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __deepcopy__(self, memo):
+        return ConfigNode({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+    def to_dict(self) -> dict:
+        return {
+            k: v.to_dict() if isinstance(v, ConfigNode) else v for k, v in self.items()
+        }
+
+
+# Defaults mirror the reference schema (/root/reference/configs/config.yaml:1-26)
+# plus the TPU-native sections introduced by this framework.
+DEFAULTS: dict = {
+    "experiment": {"name": "SRGAN", "seed": 1234},
+    "data": {
+        "image_dir": "data/DIV2K",
+        "numpy_dir": "data/div2k_np",
+        "lr_image_size": 24,
+        "scale_factor": 4,
+    },
+    "generator": {"n_filters": 64, "n_layers": 8},
+    # n_layers is accepted for schema parity with the reference but unused there
+    # too (reference model.py:139-193 hardcodes the 7-block plan).
+    "discriminator": {"n_filters": 64, "n_layers": 7},
+    "training": {
+        "compiled": True,  # jit is always on; kept for schema parity
+        "pretrain_iterations": 100,
+        "iterations": 100,
+        "device": "tpu",
+        "log_iter": 5000,
+        "checkpoint_iter": 5000,
+        "batch_size": 24,
+        "num_workers": 16,
+        "generator_lr": 1e-4,
+        "discriminator_lr": 1e-4,
+        # --- TPU additions ---
+        "bf16": True,  # bf16 compute, fp32 params/optimizer
+        "vgg_weights": None,  # path to a torchvision vgg19 state_dict (.pth)
+        "resume": True,  # auto-resume from latest Orbax checkpoint
+        "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
+    },
+    "parallel": {
+        "data_axis": "data",  # 1-D mesh axis name for data parallelism
+        "num_devices": None,  # None -> all local devices
+        "scale_lr": False,  # linear LR scaling with data-parallel degree
+    },
+    "kernels": {
+        "use_pallas": False,  # Pallas fused kernels on the generator hot path
+    },
+    "inference": {
+        "tile": 0,  # >0: spatially tile huge frames across the mesh
+        "halo": 24,  # LR-pixel halo for tiled inference (receptive field)
+        "batch_size": 1,
+        "bucket": True,  # pad to shape buckets to bound recompiles
+    },
+}
+
+
+def _merge(base: dict, override: Mapping) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if isinstance(v, Mapping) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def _parse_value(text: str) -> Any:
+    """Parse an override value with YAML typing (`1e-4` -> float, etc.)."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+def apply_overrides(config: ConfigNode, overrides: Iterable[str]) -> ConfigNode:
+    """Apply hydra-style ``a.b.c=value`` overrides in place."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(
+                f"Override {item!r} is not of the form key.path=value"
+            )
+        path, _, raw = item.partition("=")
+        keys = path.strip().lstrip("+").split(".")
+        node: Any = config
+        for key in keys[:-1]:
+            if key not in node or not isinstance(node[key], ConfigNode):
+                node[key] = ConfigNode()
+            node = node[key]
+        node[keys[-1]] = _parse_value(raw)
+    return config
+
+
+def load_config(
+    path: str | None = None, overrides: Iterable[str] = ()
+) -> ConfigNode:
+    """Load YAML config, merge over defaults, apply dotted overrides."""
+    data: dict = {}
+    if path is not None and os.path.exists(path):
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    config = ConfigNode(_merge(DEFAULTS, data))
+    apply_overrides(config, overrides)
+    return config
+
+
+def default_config(**sections) -> ConfigNode:
+    """Programmatic config (tests): defaults with per-section dict updates."""
+    return ConfigNode(_merge(DEFAULTS, sections))

@@ -1,0 +1,137 @@
+"""The 4x super-resolution generator (TPU-native, NHWC).
+
+Capability parity with the reference generator (/root/reference/model.py:72-117):
+
+  neck:       Conv 3->F (k3, p1) + PReLU                      (model.py:75-78)
+  stem:       n_layers x ResidualBlock                        (model.py:79-84)
+                Conv(k3, no bias) -> InstanceNorm -> PReLU
+                -> Conv(no bias) -> InstanceNorm -> + x       (model.py:43-69)
+  bottleneck: Conv(no bias) -> InstanceNorm, + long skip      (model.py:86-95,115)
+  upsampling: 2 x [Conv F->4F (k3) -> PixelShuffle(2) -> PReLU]  fixed 4x
+                                                              (model.py:26-40,97-100)
+  head:       Conv F->3 (k3) + tanh -> output in [-1, 1]      (model.py:102-110)
+
+Default config (n_filters=64, n_layers=8) has exactly 925,646 parameters,
+matching the shipped reference checkpoint.
+
+TPU-first choices: NHWC activations (native conv layout), explicit (1,1)
+padding (bit-identical to torch's p=1), fp32 params with a configurable
+compute dtype (bf16 by default in training), instance-norm statistics in fp32,
+and an optional Pallas fused instance-norm+PReLU path for the stem
+(`use_pallas=True`). The network is fully convolutional: any H, W works and
+the output is [B, 4H, 4W, 3].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fast_srgan_tpu.ops.norm import instance_norm_nhwc
+from fast_srgan_tpu.ops.pixel_shuffle import pixel_shuffle_nhwc
+
+PAD1 = ((1, 1), (1, 1))
+
+
+class PReLU(nn.Module):
+    """PReLU with a single shared slope, init 0.25 (torch nn.PReLU default)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", lambda _: jnp.full((1,), 0.25, jnp.float32))
+        alpha = alpha.astype(self.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class ResidualBlock(nn.Module):
+    """conv -> IN -> PReLU -> conv -> IN, identity skip after the 2nd norm."""
+
+    n_filters: int
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(
+            self.n_filters, (3, 3), padding=PAD1, use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        if self.use_pallas:
+            from fast_srgan_tpu.kernels.instance_norm import (
+                instance_norm_prelu_nhwc,
+            )
+            alpha = self.param(
+                "relu1_alpha", lambda _: jnp.full((1,), 0.25, jnp.float32)
+            )
+            y = instance_norm_prelu_nhwc(y, alpha)
+        else:
+            y = instance_norm_nhwc(y)
+            y = PReLU(dtype=self.dtype, name="relu1")(y)
+        y = nn.Conv(
+            self.n_filters, (3, 3), padding=PAD1, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(y)
+        y = instance_norm_nhwc(y)
+        return y + x
+
+
+class UpSamplingBlock(nn.Module):
+    """Conv F->4F (k3) -> PixelShuffle(2) -> PReLU — one 2x stage."""
+
+    n_filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.n_filters * 4, (3, 3), padding=PAD1, dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = pixel_shuffle_nhwc(x, 2)
+        return PReLU(dtype=self.dtype, name="relu")(x)
+
+
+class Generator(nn.Module):
+    """Fully-convolutional 4x SR generator. Input/output in [-1, 1], NHWC."""
+
+    n_filters: int = 64
+    n_layers: int = 8
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        residual = nn.Conv(
+            self.n_filters, (3, 3), padding=PAD1, dtype=self.dtype,
+            name="neck_conv",
+        )(x)
+        residual = PReLU(dtype=self.dtype, name="neck_relu")(residual)
+
+        y = residual
+        for i in range(self.n_layers):
+            y = ResidualBlock(
+                self.n_filters, dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"stem_{i}",
+            )(y)
+
+        y = nn.Conv(
+            self.n_filters, (3, 3), padding=PAD1, use_bias=False,
+            dtype=self.dtype, name="bottleneck_conv",
+        )(y)
+        y = instance_norm_nhwc(y)
+        y = y + residual  # long skip (reference model.py:115)
+
+        for i in range(2):  # fixed 4x: two 2x stages (reference model.py:97-100)
+            y = UpSamplingBlock(
+                self.n_filters, dtype=self.dtype, name=f"upsampling_{i}"
+            )(y)
+
+        y = nn.Conv(
+            3, (3, 3), padding=PAD1, dtype=self.dtype, name="head_conv"
+        )(y)
+        return jnp.tanh(y.astype(jnp.float32))

@@ -1,0 +1,28 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+JAX backends initialize lazily, so even though the environment's
+sitecustomize pre-imports JAX configured for the axon TPU backend, we can
+still steer the platform to CPU with 8 virtual host devices — the standard
+JAX fake-backend configuration for multi-device tests (SURVEY.md §4) — as
+long as this runs before the first device access. conftest.py is imported
+before any test module, which guarantees that ordering under pytest.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
