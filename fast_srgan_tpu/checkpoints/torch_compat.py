@@ -1,0 +1,245 @@
+"""Bidirectional PyTorch <-> Flax weight conversion.
+
+The compatibility contract is the exact key set of the shipped reference
+checkpoint (`/root/reference/models/model.pt`, archive root
+``generator_epoch_555000``, 36 tensors, keys ``_orig_mod.``-prefixed because it
+was saved from a ``torch.compile``d model — reference inference.py:29-33 strips
+the prefix on load; SURVEY.md §2.5 lists the post-strip key map):
+
+    neck.0.{weight,bias}        conv 3->F          -> neck_conv.{kernel,bias}
+    neck.1.weight               PReLU slope        -> neck_relu.alpha
+    stem.{i}.conv1.weight                           -> stem_{i}.conv1.kernel
+    stem.{i}.relu1.weight                           -> stem_{i}.relu1.alpha
+    stem.{i}.conv2.weight                           -> stem_{i}.conv2.kernel
+    bottleneck.0.weight                             -> bottleneck_conv.kernel
+    upsampling.{j}.conv.{weight,bias}               -> upsampling_{j}.conv.{kernel,bias}
+    upsampling.{j}.relu.weight                      -> upsampling_{j}.relu.alpha
+    head.0.{weight,bias}                            -> head_conv.{kernel,bias}
+
+Layout conversion: torch convs are OIHW, Flax convs are HWIO — transpose
+(2, 3, 1, 0). No PixelShuffle channel permutation is needed: our
+:func:`~fast_srgan_tpu.ops.pixel_shuffle.pixel_shuffle_nhwc` uses the exact
+torch channel ordering (c*r*r + i*r + j), so the conv output-channel index is
+preserved through the OIHW->HWIO transpose (the classic cross-framework trap,
+neutralized by construction).
+
+Loading the .pt file: ``torch.load(weights_only=True)`` when torch is
+available (it is in this image), with a pure zip+pickle fallback reader for
+torch-free deployments.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from fast_srgan_tpu.models.vgg import VGG19_FEATURES_34_PLAN
+
+# ---------------------------------------------------------------------------
+# Raw .pt reading (no torch required)
+# ---------------------------------------------------------------------------
+
+_DTYPES = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "BFloat16Storage": None,  # handled specially
+}
+
+
+class _AttrDict(dict):
+    """dict accepting attribute state (stand-in for OrderedDict in pickles)."""
+
+
+class _TorchUnpickler(pickle.Unpickler):
+    """Unpickles a torch checkpoint into numpy arrays without torch."""
+
+    def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
+        super().__init__(file)
+        self._zf = zf
+        self._prefix = prefix
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name in (
+            "_rebuild_tensor_v2",
+            "_rebuild_tensor",
+        ):
+            return self._rebuild_tensor
+        if module == "torch" and name.endswith("Storage"):
+            return name  # marker consumed by persistent_load
+        if module == "collections" and name == "OrderedDict":
+            # A dict subclass: torch state_dicts carry a `_metadata` attribute
+            # that pickle BUILD assigns via __dict__, which plain dict lacks.
+            return _AttrDict
+        raise pickle.UnpicklingError(f"blocked class {module}.{name}")
+
+    def persistent_load(self, pid):
+        # pid = ('storage', StorageType, key, location, numel)
+        _, storage_type, key, _location, _numel = pid
+        return (storage_type, key)
+
+    def _rebuild_tensor(self, storage, storage_offset, size, stride, *args):
+        storage_type, key = storage
+        np_dtype = _DTYPES.get(storage_type)
+        raw = self._zf.read(f"{self._prefix}/data/{key}")
+        if storage_type == "BFloat16Storage":
+            u16 = np.frombuffer(raw, dtype=np.uint16)
+            arr32 = (u16.astype(np.uint32) << 16).view(np.float32)
+            flat = arr32
+        else:
+            flat = np.frombuffer(raw, dtype=np_dtype)
+        if size:
+            # as_strided view honoring arbitrary strides, then densify
+            arr = np.lib.stride_tricks.as_strided(
+                flat[storage_offset:],
+                shape=size,
+                strides=[s * flat.itemsize for s in stride],
+            ).copy()
+        else:
+            arr = flat[storage_offset : storage_offset + 1].copy().reshape(())
+        return arr
+
+
+def read_torch_pickle(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch zip checkpoint into {key: np.ndarray} without torch."""
+    with zipfile.ZipFile(path) as zf:
+        pkl_name = next(n for n in zf.namelist() if n.endswith("/data.pkl"))
+        prefix = pkl_name[: -len("/data.pkl")]
+        with zf.open(pkl_name) as f:
+            data = _TorchUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+    return data
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint as numpy, via torch if present, else raw."""
+    try:
+        import torch  # noqa: PLC0415
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    except ImportError:
+        return read_torch_pickle(path)
+
+
+# ---------------------------------------------------------------------------
+# Generator conversion
+# ---------------------------------------------------------------------------
+
+def _strip_compile_prefix(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Remove torch.compile's `_orig_mod.` prefix (reference inference.py:31-32)."""
+    return {k.replace("_orig_mod.", ""): v for k, v in sd.items()}
+
+
+def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _hwio_to_oihw(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def generator_params_from_torch_state_dict(
+    sd: Mapping[str, np.ndarray], n_layers: int | None = None
+) -> Dict[str, Any]:
+    """Map a reference generator state_dict to our Flax param pytree."""
+    sd = _strip_compile_prefix(sd)
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    if n_layers is None:
+        n_layers = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("stem.")
+        )
+    p: Dict[str, Any] = {
+        "neck_conv": {
+            "kernel": _oihw_to_hwio(sd["neck.0.weight"]),
+            "bias": sd["neck.0.bias"],
+        },
+        "neck_relu": {"alpha": sd["neck.1.weight"]},
+        "bottleneck_conv": {"kernel": _oihw_to_hwio(sd["bottleneck.0.weight"])},
+        "head_conv": {
+            "kernel": _oihw_to_hwio(sd["head.0.weight"]),
+            "bias": sd["head.0.bias"],
+        },
+    }
+    for i in range(n_layers):
+        p[f"stem_{i}"] = {
+            "conv1": {"kernel": _oihw_to_hwio(sd[f"stem.{i}.conv1.weight"])},
+            "relu1": {"alpha": sd[f"stem.{i}.relu1.weight"]},
+            "conv2": {"kernel": _oihw_to_hwio(sd[f"stem.{i}.conv2.weight"])},
+        }
+    for j in range(2):
+        p[f"upsampling_{j}"] = {
+            "conv": {
+                "kernel": _oihw_to_hwio(sd[f"upsampling.{j}.conv.weight"]),
+                "bias": sd[f"upsampling.{j}.conv.bias"],
+            },
+            "relu": {"alpha": sd[f"upsampling.{j}.relu.weight"]},
+        }
+    return {"params": p}
+
+
+def generator_params_to_torch_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse map: Flax params -> reference-keyed state_dict (numpy OIHW)."""
+    p = params["params"] if "params" in params else params
+    p = {k: np.asarray(v) if not isinstance(v, Mapping) else v for k, v in p.items()}
+    sd: Dict[str, np.ndarray] = {
+        "neck.0.weight": _hwio_to_oihw(np.asarray(p["neck_conv"]["kernel"])),
+        "neck.0.bias": np.asarray(p["neck_conv"]["bias"]),
+        "neck.1.weight": np.asarray(p["neck_relu"]["alpha"]),
+        "bottleneck.0.weight": _hwio_to_oihw(np.asarray(p["bottleneck_conv"]["kernel"])),
+        "head.0.weight": _hwio_to_oihw(np.asarray(p["head_conv"]["kernel"])),
+        "head.0.bias": np.asarray(p["head_conv"]["bias"]),
+    }
+    n_layers = len([k for k in p if k.startswith("stem_")])
+    for i in range(n_layers):
+        blk = p[f"stem_{i}"]
+        sd[f"stem.{i}.conv1.weight"] = _hwio_to_oihw(np.asarray(blk["conv1"]["kernel"]))
+        sd[f"stem.{i}.relu1.weight"] = np.asarray(blk["relu1"]["alpha"])
+        sd[f"stem.{i}.conv2.weight"] = _hwio_to_oihw(np.asarray(blk["conv2"]["kernel"]))
+    for j in range(2):
+        blk = p[f"upsampling_{j}"]
+        sd[f"upsampling.{j}.conv.weight"] = _hwio_to_oihw(np.asarray(blk["conv"]["kernel"]))
+        sd[f"upsampling.{j}.conv.bias"] = np.asarray(blk["conv"]["bias"])
+        sd[f"upsampling.{j}.relu.weight"] = np.asarray(blk["relu"]["alpha"])
+    return sd
+
+
+def load_reference_generator_params(path: str) -> Dict[str, Any]:
+    """Load a reference-format .pt generator checkpoint as Flax params."""
+    return generator_params_from_torch_state_dict(load_torch_state_dict(path))
+
+
+# ---------------------------------------------------------------------------
+# VGG19 conversion (torchvision `vgg19` state_dict -> VGG19Features params)
+# ---------------------------------------------------------------------------
+
+def vgg19_params_from_torch_state_dict(
+    sd: Mapping[str, np.ndarray]
+) -> Dict[str, Any]:
+    """Map torchvision ``vgg19`` weights (`features.{idx}.weight/bias`) to ours.
+
+    Accepts either a full torchvision vgg19 state_dict (with classifier keys,
+    ignored) or just the features. torchvision conv indices for cfg 'E':
+    0,2,5,7,10,12,14,16,19,21,23,25,28,30,32 — the 15 convs kept by
+    features[:34] (reference model.py:8).
+    """
+    torch_conv_indices = []
+    idx = 0
+    for item in VGG19_FEATURES_34_PLAN:
+        if item == "M":
+            idx += 1  # pool occupies one slot
+        else:
+            torch_conv_indices.append(idx)
+            idx += 2  # conv + relu
+    p: Dict[str, Any] = {}
+    for our_i, t_i in enumerate(torch_conv_indices):
+        w = np.asarray(sd[f"features.{t_i}.weight"], dtype=np.float32)
+        b = np.asarray(sd[f"features.{t_i}.bias"], dtype=np.float32)
+        p[f"conv_{our_i}"] = {"kernel": _oihw_to_hwio(w), "bias": b}
+    return {"params": p}

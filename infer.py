@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""CLI batch image super-resolution (reference-compatible surface).
+
+Usage (same required flags as /root/reference/inference.py:12-14):
+
+    python infer.py --image_dir INPUT_DIR --output_dir OUTPUT_DIR
+        [--checkpoint PATH.pt|.npz] [--batch_size N] [--bucket N]
+        [--fp32] [--config configs/config.yaml]
+
+Behavior parity: loads the pretrained generator (reference-format .pt
+checkpoints accepted directly, `_orig_mod.` prefixes stripped), globs
+png/jpg/jpeg case-insensitively, upscales each image 4x at native resolution,
+and writes results under the same basename. TPU-native improvements: jitted
+batched execution with same-shape grouping, bf16 compute, optional shape
+bucketing to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_srgan_tpu.checkpoints.torch_compat import load_reference_generator_params
+from fast_srgan_tpu.config import load_config
+from fast_srgan_tpu.inference import SRInferenceEngine
+from fast_srgan_tpu.utils.images import list_image_files, load_image_u8, save_image_u8
+
+DEFAULT_CHECKPOINTS = (
+    "models/generator_pretrained.npz",
+    "models/model.pt",
+    "/root/reference/models/model.pt",
+)
+
+
+def load_generator_params(path: str):
+    """Load generator params from .npz (native) or .pt (reference format)."""
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        params: dict = {}
+        for key, value in flat.items():
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = value
+        return {"params": params} if "params" not in params else params
+    return load_reference_generator_params(path)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("Real Time Image Super Resolution (TPU)")
+    parser.add_argument("--image_dir", required=True, type=str)
+    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--checkpoint", default=None, type=str)
+    parser.add_argument("--config", default="configs/config.yaml", type=str)
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument(
+        "--bucket", default=0, type=int,
+        help="pad LR inputs to multiples of this (0 = exact shapes)",
+    )
+    parser.add_argument(
+        "--fp32", action="store_true", help="fp32 compute (default bf16)"
+    )
+    args = parser.parse_args(argv)
+
+    ckpt = args.checkpoint
+    if ckpt is None:
+        ckpt = next((c for c in DEFAULT_CHECKPOINTS if os.path.exists(c)), None)
+        if ckpt is None:
+            raise SystemExit(
+                "No checkpoint found; pass --checkpoint (searched: "
+                + ", ".join(DEFAULT_CHECKPOINTS) + ")"
+            )
+
+    config = load_config(args.config)
+    params = load_generator_params(ckpt)
+    engine = SRInferenceEngine(
+        params,
+        n_filters=config.generator.n_filters,
+        n_layers=config.generator.n_layers,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        bucket=args.bucket,
+        use_pallas=config.kernels.use_pallas,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    names = list_image_files(args.image_dir)
+    print(f"Found {len(names)} to super resolve, starting...")
+    images = [load_image_u8(os.path.join(args.image_dir, n)) for n in names]
+    t0 = time.perf_counter()
+    outputs = engine.upscale_images(images, batch_size=args.batch_size)
+    for name, out in zip(names, outputs):
+        save_image_u8(os.path.join(args.output_dir, os.path.basename(name)), out)
+    dt = time.perf_counter() - t0
+    print(f"Done: {len(names)} images in {dt:.2f}s ({len(names) / dt:.1f} img/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Train-step smoke + behavior tests (small models, synthetic data)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_srgan_tpu.config import default_config
+from fast_srgan_tpu.parallel.mesh import make_mesh, shard_batch
+from fast_srgan_tpu.train.steps import build_bundle, prepare_batch
+
+
+def tiny_config(**training):
+    return default_config(
+        data={"lr_image_size": 8, "scale_factor": 4},
+        generator={"n_filters": 8, "n_layers": 2},
+        discriminator={"n_filters": 8},
+        training={"bf16": False, **training},
+    )
+
+
+def synthetic_batch(rng, batch=4, hr=32):
+    return rng.integers(0, 256, size=(batch, hr, hr, 3), dtype=np.uint8)
+
+
+class TestPrepareBatch:
+    def test_ranges_and_shapes(self, rng):
+        hr_u8 = jnp.asarray(synthetic_batch(rng))
+        lr, hr = prepare_batch(hr_u8, 8)
+        assert lr.shape == (4, 8, 8, 3) and hr.shape == (4, 32, 32, 3)
+        assert float(hr.min()) >= -1.0 and float(hr.max()) <= 1.0
+
+
+class TestPretrainStep:
+    def test_loss_decreases(self, rng):
+        config = tiny_config()
+        bundle, g_state, _, _ = build_bundle(config)
+        batch = jnp.asarray(synthetic_batch(rng))
+        losses = []
+        for _ in range(8):
+            g_state, loss = bundle.pretrain_step(g_state, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert g_state.step == 8
+
+
+class TestGanStep:
+    def test_updates_both_states_and_reports_metrics(self, rng):
+        config = tiny_config()
+        bundle, g_state, d_state, vgg_params = build_bundle(config)
+        batch = jnp.asarray(synthetic_batch(rng))
+        g0 = jax.tree.map(lambda x: x.copy(), g_state.params)
+        d0 = jax.tree.map(lambda x: x.copy(), d_state.params)
+        key = jax.random.key(0)
+        g_state, d_state, metrics = bundle.gan_step(
+            g_state, d_state, vgg_params, batch, key
+        )
+        assert set(metrics) == {
+            "d_loss", "loss_real", "loss_fake", "g_loss", "adv_loss",
+            "content_loss",
+        }
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        changed_g = jax.tree.leaves(
+            jax.tree.map(lambda a, b: bool((a != b).any()), g0, g_state.params)
+        )
+        changed_d = jax.tree.leaves(
+            jax.tree.map(lambda a, b: bool((a != b).any()), d0, d_state.params)
+        )
+        assert any(changed_g) and any(changed_d)
+
+    def test_deterministic_given_key(self, rng):
+        config = tiny_config()
+        batch = jnp.asarray(synthetic_batch(rng))
+        outs = []
+        for _ in range(2):
+            bundle, g_state, d_state, vgg_params = build_bundle(config)
+            g_state, d_state, metrics = bundle.gan_step(
+                g_state, d_state, vgg_params, batch, jax.random.key(7)
+            )
+            outs.append(float(metrics["g_loss"]))
+        assert outs[0] == outs[1]
+
+
+class TestEvalStep:
+    def test_psnr_ssim_statistics(self, rng):
+        config = tiny_config()
+        bundle, g_state, _, _ = build_bundle(config)
+        batch = jnp.asarray(synthetic_batch(rng))
+        sse, n, ssim_sum, count = bundle.eval_step(g_state.params, batch)
+        assert float(n) == 4 * 32 * 32 * 3
+        assert count == 4
+        assert 0.0 < float(sse)
+        assert -1.0 <= float(ssim_sum) / 4 <= 1.0
+
+
+class TestDataParallel:
+    """The multi-chip path on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+    def test_gan_step_on_mesh_matches_single_device(self, rng):
+        config = tiny_config()
+        batch_np = synthetic_batch(rng, batch=8)
+
+        bundle1, g1, d1, v1 = build_bundle(config)
+        g1, d1, m1 = bundle1.gan_step(g1, d1, v1, jnp.asarray(batch_np), jax.random.key(3))
+
+        mesh = make_mesh(8)
+        bundle8, g8, d8, v8 = build_bundle(config, mesh=mesh)
+        sharded = shard_batch(batch_np, mesh)
+        g8, d8, m8 = bundle8.gan_step(g8, d8, v8, sharded, jax.random.key(3))
+
+        # Same math, different partitioning: losses agree to fp32 tolerance.
+        np.testing.assert_allclose(
+            float(m1["g_loss"]), float(m8["g_loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(m1["d_loss"]), float(m8["d_loss"]), rtol=2e-5
+        )
+        # Updated params agree across the partitioning too.
+        a = jax.tree.leaves(g1.params)[0]
+        b = jax.tree.leaves(g8.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_pretrain_step_on_mesh(self, rng):
+        config = tiny_config()
+        mesh = make_mesh(8)
+        bundle, g_state, _, _ = build_bundle(config, mesh=mesh)
+        batch = shard_batch(synthetic_batch(rng, batch=8), mesh)
+        g_state, loss = bundle.pretrain_step(g_state, batch)
+        assert np.isfinite(float(loss))
