@@ -1,0 +1,73 @@
+"""Orbax checkpointing: async save, resume-from-latest, retention.
+
+Replaces the reference's raw ``torch.save`` of four state_dict files per
+checkpoint step (reference trainer.py:143-156) and its fragile pretrain
+resume (trainer.py:90-94 — which looks for ``runs/pretrain.pt`` but saves
+``runs/pretrain_generator.pt``, so stock resume never fires; documented in
+SURVEY.md §2.3 and deliberately *not* replicated).
+
+Design: one Orbax ``CheckpointManager`` per training run storing a pure
+pytree {g_params, g_opt, d_params, d_opt} keyed by step, with async writes
+(training continues while the previous checkpoint flushes) and automatic
+retention. Pretrain completion is a dedicated step key so the GAN phase can
+start from it, and `latest_step` drives crash recovery: on restart, training
+resumes from the newest checkpoint (the failure-recovery story the reference
+lacks — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+PRETRAIN_STEP = 0  # the reserved step key for the end-of-pretrain snapshot
+
+
+class CheckpointIO:
+    """Thin wrapper over an async Orbax CheckpointManager."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    # -- save ---------------------------------------------------------------
+
+    def save(self, step: int, tree: Dict[str, Any]) -> None:
+        self.manager.save(step, args=ocp.args.StandardSave(tree))
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    # -- restore ------------------------------------------------------------
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def has_step(self, step: int) -> bool:
+        return step in (self.manager.all_steps() or [])
+
+    def restore(self, step: int, like: Optional[Dict[str, Any]] = None):
+        """Restore step; `like` provides the abstract tree (shapes/dtypes/
+        shardings) so arrays are restored directly onto the right devices."""
+        if like is not None:
+            import jax
+
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+            return self.manager.restore(
+                step, args=ocp.args.StandardRestore(abstract)
+            )
+        return self.manager.restore(step)
+
+    def close(self) -> None:
+        self.wait()
+        self.manager.close()

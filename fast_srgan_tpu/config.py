@@ -17,9 +17,15 @@ from __future__ import annotations
 
 import copy
 import os
+import re
 from typing import Any, Iterable, Mapping
 
 import yaml
+
+# pyyaml follows YAML 1.1, where `1e-4` (no dot) resolves to a *string*;
+# OmegaConf/Hydra accept it as a float. Coerce such numeric-looking strings
+# so the reference YAML keeps its meaning.
+_NUMERIC_RE = re.compile(r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
 
 
 class ConfigNode(dict):
@@ -114,10 +120,29 @@ def _merge(base: dict, override: Mapping) -> dict:
     return out
 
 
+def _coerce(value: Any) -> Any:
+    """Convert YAML-1.1 stringly numbers (`1e-4`) to real numbers."""
+    if isinstance(value, str) and _NUMERIC_RE.match(value):
+        try:
+            f = float(value)
+            return int(f) if f.is_integer() and "." not in value and "e" not in value.lower() else f
+        except ValueError:
+            return value
+    return value
+
+
+def _coerce_tree(node: Any) -> Any:
+    if isinstance(node, Mapping):
+        return {k: _coerce_tree(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_tree(v) for v in node]
+    return _coerce(node)
+
+
 def _parse_value(text: str) -> Any:
     """Parse an override value with YAML typing (`1e-4` -> float, etc.)."""
     try:
-        return yaml.safe_load(text)
+        return _coerce(yaml.safe_load(text))
     except yaml.YAMLError:
         return text
 
@@ -147,7 +172,7 @@ def load_config(
     data: dict = {}
     if path is not None and os.path.exists(path):
         with open(path) as f:
-            data = yaml.safe_load(f) or {}
+            data = _coerce_tree(yaml.safe_load(f) or {})
     config = ConfigNode(_merge(DEFAULTS, data))
     apply_overrides(config, overrides)
     return config

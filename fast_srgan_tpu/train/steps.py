@@ -42,7 +42,7 @@ import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fast_srgan_tpu.metrics.psnr_ssim import psnr_accumulate, ssim_per_image
+from fast_srgan_tpu.metrics.psnr_ssim import ssim_per_image
 from fast_srgan_tpu.models import Discriminator, Generator, VGG19Features
 from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
 from fast_srgan_tpu.train.losses import bce_with_logits_loss, smooth_l1_loss
@@ -203,13 +203,17 @@ def build_bundle(
         return g_state, d_state, metrics
 
     def _eval(g_params, hr_u8: jnp.ndarray):
-        """[0,1]-mapped SSE/count + per-image SSIM (reference trainer.py:64-66)."""
+        """Per-image [0,1]-mapped SSE + SSIM (reference trainer.py:64-66).
+        Per-image vectors let the host mask out padding rows in partial
+        validation batches (batches are padded to a fixed size so one eval
+        program serves the whole pass)."""
         lr_img, hr_img = prepare_batch(hr_u8, lr_size)
         sr01 = (generator.apply(g_params, lr_img) + 1.0) / 2.0
         hr01 = (hr_img + 1.0) / 2.0
-        sse, n = psnr_accumulate(sr01, hr01)
+        diff = sr01 - hr01
+        sse = jnp.sum(diff * diff, axis=(1, 2, 3))
         ssim = ssim_per_image(sr01, hr01)
-        return sse, n, jnp.sum(ssim), ssim.shape[0]
+        return sse, ssim
 
     def _render(g_params, lr01: jnp.ndarray):
         """Fixed-image panel render: [0,1] LR -> [0,1] SR (trainer.py:122)."""

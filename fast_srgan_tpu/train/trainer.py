@@ -1,0 +1,256 @@
+"""Two-phase GAN trainer: orchestration around the jitted steps.
+
+Behavioral parity with the reference Trainer (/root/reference/trainer.py):
+
+  * Phase 1 ``pretrain`` — generator-only SmoothL1 (trainer.py:89-141):
+    val metrics at step 0, fixed-image panels (HighRes + antialiased 4x
+    Bicubic) once, scalar `Pretrain/Generator/Loss` every log_iter,
+    `Pretrain/Generated` panel + full val metrics every checkpoint_iter,
+    end-of-phase checkpoint. Resume: skip the phase when the pretrain
+    checkpoint exists (the reference's intent at trainer.py:90-94; its
+    filename bug — checks pretrain.pt, saves pretrain_generator.pt — is
+    documented in SURVEY.md §2.3 and fixed here, not replicated).
+  * Phase 2 ``train`` — adversarial + perceptual (trainer.py:158-233):
+    per-step D then G updates inside one jitted program, the reference's
+    4 scalar tags every log_iter, `GAN/Generated` + val metrics + a full
+    checkpoint every checkpoint_iter. Crash recovery: resumes from the
+    latest Orbax step (new capability — SURVEY.md §5).
+
+All device work happens in the bundle's jitted steps; this file is the thin
+Python loop (host->device feed + logging + checkpoint cadence).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from fast_srgan_tpu.checkpoints.orbax_io import PRETRAIN_STEP, CheckpointIO
+from fast_srgan_tpu.data.pipeline import CropSampler, PrefetchLoader
+from fast_srgan_tpu.metrics.psnr_ssim import psnr_from_accumulator
+from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
+from fast_srgan_tpu.parallel.mesh import shard_batch
+from fast_srgan_tpu.train.steps import build_bundle, prepare_batch
+from fast_srgan_tpu.utils.logging import MetricsWriter
+
+
+class Trainer:
+    """Owns model states, the metrics writer, and checkpoint IO."""
+
+    def __init__(self, config, mesh=None):
+        self.config = config
+        self.mesh = mesh
+        self.writer = MetricsWriter(
+            os.path.join("runs", config.experiment.name)
+        )
+        (
+            self.bundle,
+            self.g_state,
+            self.d_state,
+            self.vgg_params,
+        ) = build_bundle(config, mesh=mesh)
+        ckpt_dir = config.training.checkpoint_dir or os.path.join(
+            "runs", config.experiment.name, "ckpt"
+        )
+        self.ckpt = CheckpointIO(ckpt_dir)
+        self.fixed_lr01: Optional[np.ndarray] = None
+        self.fixed_hr01: Optional[np.ndarray] = None
+        self._rng = jax.random.key(config.experiment.seed)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _put(self, batch_u8: np.ndarray):
+        if self.mesh is not None:
+            return shard_batch(batch_u8, self.mesh, self.config.parallel.data_axis)
+        return jnp.asarray(batch_u8)
+
+    def _state_tree(self) -> Dict[str, Any]:
+        return {
+            "g_params": self.g_state.params,
+            "g_opt": self.g_state.opt_state,
+            "d_params": self.d_state.params,
+            "d_opt": self.d_state.opt_state,
+        }
+
+    def _load_state_tree(self, tree: Dict[str, Any], step: int) -> None:
+        self.g_state = self.g_state.replace(
+            params=tree["g_params"], opt_state=tree["g_opt"], step=step
+        )
+        self.d_state = self.d_state.replace(
+            params=tree["d_params"], opt_state=tree["d_opt"], step=step
+        )
+
+    def validate(self, val_sampler: CropSampler, phase: str, step: int) -> Dict[str, float]:
+        """Full deterministic pass: aggregate PSNR + mean SSIM on [0,1] images
+        (reference trainer.py:53-69 protocol)."""
+        sse = n = ssim_sum = images = 0.0
+        batch_size = self.config.training.batch_size
+        hr_size = self.config.data.lr_image_size * self.config.data.scale_factor
+        per_image_n = float(hr_size * hr_size * 3)
+        # drop_last=False deviates from the reference's val loader
+        # (train.py:85), which silently yields *zero* batches when the
+        # dataset is smaller than one batch. The tail batch is padded up to
+        # batch_size (single compiled shape, mesh-shardable) and the padding
+        # rows are masked out of the statistics.
+        for batch in val_sampler.sequential_batches(
+            batch_size, seed=self.config.experiment.seed, drop_last=False
+        ):
+            valid = batch.shape[0]
+            if valid < batch_size:
+                pad = batch_size - valid
+                batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+            b_sse, b_ssim = self.bundle.eval_step(
+                self.g_state.params, self._put(batch)
+            )
+            sse += float(np.asarray(b_sse)[:valid].sum())
+            n += per_image_n * valid
+            ssim_sum += float(np.asarray(b_ssim)[:valid].sum())
+            images += valid
+        psnr = psnr_from_accumulator(sse, n)
+        ssim = ssim_sum / max(images, 1)
+        self.writer.scalar(f"{phase}/PSNR", psnr, step)
+        self.writer.scalar(f"{phase}/SSIM", ssim, step)
+        self.writer.flush()
+        return {"psnr": psnr, "ssim": ssim}
+
+    def _setup_fixed_images(self, val_sampler: CropSampler, phase: str) -> None:
+        """Grab the first val batch for visualization panels and log the
+        HighRes + 4x-antialiased-Bicubic references once at step 0
+        (reference trainer.py:71-87)."""
+        if self.fixed_lr01 is not None:
+            return
+        batch = next(
+            val_sampler.sequential_batches(
+                self.config.training.batch_size,
+                seed=self.config.experiment.seed,
+                drop_last=False,
+            )
+        )
+        lr_img, hr_img = prepare_batch(
+            jnp.asarray(batch), self.config.data.lr_image_size
+        )
+        self.fixed_lr01 = np.asarray((lr_img + 1.0) / 2.0)
+        self.fixed_hr01 = np.asarray((hr_img + 1.0) / 2.0)
+        scale = self.config.data.scale_factor
+        bicubic = resize_bicubic_nhwc(
+            jnp.asarray(self.fixed_lr01),
+            self.fixed_lr01.shape[1] * scale,
+            self.fixed_lr01.shape[2] * scale,
+            antialias=True,
+        )
+        self.writer.images(f"{phase}/HighRes", self.fixed_hr01, 0)
+        self.writer.images(f"{phase}/Bicubic", np.asarray(bicubic), 0)
+
+    def _log_generated(self, tag: str, step: int) -> None:
+        panel = self.bundle.render_step(
+            self.g_state.params, jnp.asarray(self.fixed_lr01)
+        )
+        self.writer.images(tag, np.asarray(panel), step)
+
+    # -- phase 1 ---------------------------------------------------------------
+
+    def pretrain(self, loader: PrefetchLoader, val_sampler: CropSampler) -> None:
+        if self.config.training.resume and self.ckpt.has_step(PRETRAIN_STEP):
+            print("Pretrained checkpoint found, skipping pretraining")
+            tree = self.ckpt.restore(PRETRAIN_STEP, like=self._state_tree())
+            self._load_state_tree(tree, step=0)
+            return
+        self.validate(val_sampler, "Pretrain", step=0)
+        self._setup_fixed_images(val_sampler, "Pretrain")
+        log_iter = self.config.training.log_iter
+        ckpt_iter = self.config.training.checkpoint_iter
+        step = 0
+        for step, batch in enumerate(
+            tqdm(loader, desc="Pretraining Generator", total=len(loader)), start=1
+        ):
+            self.g_state, loss = self.bundle.pretrain_step(
+                self.g_state, self._put(batch)
+            )
+            if step % log_iter == 0:
+                self.writer.scalar("Pretrain/Generator/Loss", float(loss), step)
+            if step % ckpt_iter == 0:
+                self._log_generated("Pretrain/Generated", step)
+                self.validate(val_sampler, "Pretrain", step)
+        self.ckpt.save(PRETRAIN_STEP, self._state_tree())
+        self.ckpt.wait()
+
+    # -- phase 2 ---------------------------------------------------------------
+
+    def train(self, loader: PrefetchLoader, val_sampler: CropSampler) -> None:
+        start_step = 0
+        latest = self.ckpt.latest_step()
+        if (
+            self.config.training.resume
+            and latest is not None
+            and latest > PRETRAIN_STEP
+        ):
+            print(f"Resuming GAN phase from step {latest}")
+            tree = self.ckpt.restore(latest, like=self._state_tree())
+            self._load_state_tree(tree, step=latest)
+            start_step = latest
+        self.validate(val_sampler, "GAN", step=start_step)
+        self._setup_fixed_images(val_sampler, "GAN")
+        log_iter = self.config.training.log_iter
+        ckpt_iter = self.config.training.checkpoint_iter
+        for step, batch in enumerate(
+            tqdm(loader, desc="GAN Training", total=len(loader)),
+            start=start_step + 1,
+        ):
+            step_key = jax.random.fold_in(self._rng, step)
+            self.g_state, self.d_state, metrics = self.bundle.gan_step(
+                self.g_state,
+                self.d_state,
+                self.vgg_params,
+                self._put(batch),
+                step_key,
+            )
+            if step % log_iter == 0:
+                self.writer.scalar(
+                    "Loss/Discriminator/Real", float(metrics["loss_real"]), step
+                )
+                self.writer.scalar(
+                    "Loss/Discriminator/Fake", float(metrics["loss_fake"]), step
+                )
+                self.writer.scalar(
+                    "Loss/Generator/Adversarial", float(metrics["adv_loss"]), step
+                )
+                self.writer.scalar(
+                    "Loss/Generator/Content", float(metrics["content_loss"]), step
+                )
+            if step % ckpt_iter == 0:
+                self._log_generated("GAN/Generated", step)
+                self.validate(val_sampler, "GAN", step=step)
+                self.save_checkpoints(step)
+        self.ckpt.wait()
+
+    # -- checkpointing -----------------------------------------------------------
+
+    def save_checkpoints(self, step: int) -> None:
+        """Orbax snapshot (async) + optional reference-format .pt export
+        (the reference writes 4 raw state_dict files — trainer.py:143-156;
+        our .pt export keeps its checkpoints loadable by the upstream CLI)."""
+        self.ckpt.save(step, self._state_tree())
+        if self.config.training.get("export_pt", False):
+            from fast_srgan_tpu.checkpoints.torch_compat import (
+                generator_params_to_torch_state_dict,
+            )
+            import torch
+
+            save_dir = os.path.join("runs", self.config.experiment.name)
+            os.makedirs(save_dir, exist_ok=True)
+            sd = generator_params_to_torch_state_dict(
+                jax.device_get(self.g_state.params)
+            )
+            torch.save(
+                {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+                os.path.join(save_dir, f"generator_epoch_{step}.pt"),
+            )
+
+    def close(self) -> None:
+        self.ckpt.close()
+        self.writer.close()

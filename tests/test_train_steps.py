@@ -87,11 +87,10 @@ class TestEvalStep:
         config = tiny_config()
         bundle, g_state, _, _ = build_bundle(config)
         batch = jnp.asarray(synthetic_batch(rng))
-        sse, n, ssim_sum, count = bundle.eval_step(g_state.params, batch)
-        assert float(n) == 4 * 32 * 32 * 3
-        assert count == 4
-        assert 0.0 < float(sse)
-        assert -1.0 <= float(ssim_sum) / 4 <= 1.0
+        sse, ssim = bundle.eval_step(g_state.params, batch)
+        assert sse.shape == (4,) and ssim.shape == (4,)
+        assert float(sse.min()) > 0.0
+        assert -1.0 <= float(ssim.min()) and float(ssim.max()) <= 1.0
 
 
 class TestDataParallel:

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Training entry point: two-phase SRGAN training with dotted CLI overrides.
+
+Usage (same override surface as the reference's Hydra CLI —
+/root/reference/train.py:46, README.md:43-48):
+
+    python train.py [key.path=value ...]
+    python train.py data.image_dir=/data/DIV2K training.batch_size=32 \
+                    generator.n_layers=12 generator.n_filters=96
+
+Pipeline parity with reference train.py: lazily preprocess images into the
+.npy cache, seed everything, build the val/pretrain/train loaders, run
+``Trainer.pretrain`` then ``Trainer.train``.
+
+TPU-native: builds a 1-D data mesh over the local devices (parallel section
+of the config), feeds uint8 HR crops, and leaves LR synthesis/normalization
+to the jitted steps. Multi-host: launch one process per host after
+`jax.distributed.initialize` — the loaders shard files by process index.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from fast_srgan_tpu.config import load_config
+from fast_srgan_tpu.data.pipeline import make_loaders
+from fast_srgan_tpu.data.preprocess import ensure_numpy_cache
+from fast_srgan_tpu.parallel.mesh import make_mesh
+from fast_srgan_tpu.train.trainer import Trainer
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    config = load_config("configs/config.yaml", overrides=argv)
+
+    np.random.seed(config.experiment.seed)
+
+    ensure_numpy_cache(
+        config.data.image_dir,
+        config.data.numpy_dir,
+        workers=config.training.num_workers,
+    )
+
+    mesh = make_mesh(
+        num_devices=config.parallel.num_devices,
+        axis_name=config.parallel.data_axis,
+    )
+    n_dev = mesh.size
+    if config.training.batch_size % n_dev != 0:
+        raise SystemExit(
+            f"training.batch_size={config.training.batch_size} must be "
+            f"divisible by the mesh size ({n_dev} devices)"
+        )
+    print(
+        f"Devices: {n_dev} ({jax.devices()[0].platform}), "
+        f"global batch {config.training.batch_size}"
+    )
+
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
+    val_sampler, pretrain_loader, train_loader = make_loaders(config, shard=shard)
+
+    trainer = Trainer(config, mesh=mesh)
+    try:
+        trainer.pretrain(pretrain_loader, val_sampler)
+        trainer.train(train_loader, val_sampler)
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main()
