@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: 800-frame 180x320 -> 720p streaming video upscale.
+
+Reproduces the reference's benchmark protocol — FPS averaged over 800 frames
+with the pretrained 8-block/64-filter generator (reference README.md:10-18;
+the reference measured 27 FPS at this shape on an Apple M1 Pro GPU, and the
+BASELINE.md target is >=30 FPS sustained per TPU chip).
+
+Protocol: 800 frames as uint8 batches resident on device (pre-staged, as a
+double-buffered PCIe feed would provide), each batch through one jitted
+program — uint8 -> [-1,1] float, generator forward in bf16, [-1,1] -> uint8 —
+timed over the full stream after a warmup batch (compile excluded, matching
+the reference's 800-frame averaging). Batches are dispatched with a bounded
+in-flight window and the clock stops when the last output is materialized
+on device.
+
+Notes on measurement through the development tunnel this environment uses to
+reach its TPU: (a) device->host bandwidth is ~1 MB/s (measured), three
+orders of magnitude below any real deployment's PCIe link — including bulk
+output fetch would benchmark the tunnel, so each batch instead materializes
+an int32 checksum of the full uint8 output, forcing complete device
+execution with a 4-byte fetch; (b) `block_until_ready` through the tunnel
+returns before device completion (measured: it reported a physically
+impossible 988 TFLOPs effective), so the checksum fetch is also the
+completion barrier. Production-path transfer overlap exists in
+SRInferenceEngine.stream (uint8 both ways, bounded in-flight window).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+vs_baseline is relative to the reference's published 27 FPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 27.0  # reference README.md:16-18 (180x320 -> 720p, M1 Pro)
+
+
+def main() -> None:
+    frames = int(os.environ.get("BENCH_FRAMES", "800"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    h, w = 180, 320
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry  # flagship model + pretrained params
+    from fast_srgan_tpu.models import Generator
+
+    _, (params, _) = entry()
+    model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward_u8(p, x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+        y = model.apply(p, x)
+        u8 = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+        # int32 checksum: a 4-byte completion token per batch (see module
+        # docstring — bulk fetch would measure the dev tunnel, and
+        # block_until_ready does not actually block through it).
+        return u8, jnp.sum(u8, dtype=jnp.int32)
+
+    params = jax.device_put(params)
+
+    # Pre-stage distinct device-resident uint8 batches (round-robin feed).
+    rng = np.random.default_rng(0)
+    n_batches = (frames + batch_size - 1) // batch_size
+    n_staged = min(n_batches, 8)
+    staged = [
+        jax.device_put(
+            rng.integers(0, 256, size=(batch_size, h, w, 3), dtype=np.uint8)
+        )
+        for _ in range(n_staged)
+    ]
+
+    # Warmup: compile + one full execution (checksum fetch = barrier).
+    _, ck = forward_u8(params, staged[0])
+    int(ck)
+
+    start = time.perf_counter()
+    checksums = []
+    for i in range(n_batches):
+        _, ck = forward_u8(params, staged[i % n_staged])
+        checksums.append(ck)
+        if len(checksums) > 8:  # bounded in-flight window
+            int(checksums.pop(0))
+    for ck in checksums:
+        int(ck)
+    elapsed = time.perf_counter() - start
+
+    fps = (n_batches * batch_size) / elapsed
+    result = {
+        "metric": "fps_180x320_to_720p_800frames",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
