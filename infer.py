@@ -65,6 +65,11 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--fp32", action="store_true", help="fp32 compute (default bf16)"
     )
+    parser.add_argument(
+        "--tile", default=0, type=int,
+        help="shard each frame's width across N devices (exact halo-exchange"
+        " tiling with psum'd instance-norm statistics; width must divide N)",
+    )
     args = parser.parse_args(argv)
 
     ckpt = args.checkpoint
@@ -92,7 +97,15 @@ def main(argv=None) -> None:
     print(f"Found {len(names)} to super resolve, starting...")
     images = [load_image_u8(os.path.join(args.image_dir, n)) for n in names]
     t0 = time.perf_counter()
-    outputs = engine.upscale_images(images, batch_size=args.batch_size)
+    if args.tile > 0:
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+        from fast_srgan_tpu.parallel.spatial import tiled_upscale_u8
+
+        mesh = make_mesh(args.tile, axis_name="sp")
+        dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+        outputs = [tiled_upscale_u8(params, im, mesh, dtype=dtype) for im in images]
+    else:
+        outputs = engine.upscale_images(images, batch_size=args.batch_size)
     for name, out in zip(names, outputs):
         save_image_u8(os.path.join(args.output_dir, os.path.basename(name)), out)
     dt = time.perf_counter() - t0
