@@ -53,7 +53,10 @@ def main() -> None:
     from fast_srgan_tpu.models import Generator
 
     _, (params, _) = entry()
-    model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    model = Generator(
+        n_filters=64, n_layers=8, dtype=jnp.bfloat16, use_pallas=use_pallas
+    )
 
     @jax.jit
     def forward_u8(p, x_u8):

@@ -32,7 +32,13 @@ import numpy as np
 
 
 class CropSampler:
-    """Uniform random HR crops from a directory of uint8 HWC .npy files."""
+    """Uniform random HR crops from a directory of uint8 HWC .npy files.
+
+    `backend`: 'auto' uses the native C++ gather (csrc/fastsr_loader.cpp)
+    when it builds, else numpy mmap slicing; 'numpy'/'native' force one.
+    Crop offsets are always drawn host-side from the seeded RNG, so batches
+    are bit-identical across backends.
+    """
 
     def __init__(
         self,
@@ -41,6 +47,7 @@ class CropSampler:
         scale_factor: int,
         seed: int = 0,
         shard: Optional[Tuple[int, int]] = None,
+        backend: str = "auto",
     ):
         paths = sorted(numpy_paths)
         if shard is not None:
@@ -52,6 +59,18 @@ class CropSampler:
         self.hr_size = lr_image_size * scale_factor
         self.rng = np.random.default_rng(seed)
         self._arrays: List[Optional[np.ndarray]] = [None] * len(self.paths)
+        self._shapes: List[Optional[Tuple[int, int]]] = [None] * len(self.paths)
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from fast_srgan_tpu.data.native import NativeCropDataset
+
+                self._native = NativeCropDataset(self.paths)
+                self._shapes = [tuple(hw) for hw in self._native.shapes]
+            except Exception:
+                if backend == "native":
+                    raise
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -68,27 +87,59 @@ class CropSampler:
             self._arrays[idx] = arr
         return arr
 
+    def _shape(self, idx: int) -> Tuple[int, int]:
+        s = self._shapes[idx]
+        if s is None:
+            arr = np.load(self.paths[idx], mmap_mode="c")
+            s = (arr.shape[0], arr.shape[1])
+            self._shapes[idx] = s
+        return s
+
+    def _draw_offsets(self, idxs, rng) -> Tuple[np.ndarray, np.ndarray]:
+        """Draw (top, left) per item — the single source of crop randomness
+        (matches the per-item draw order of the reference dataloader.py:27-29,
+        inclusive upper bound)."""
+        s = self.hr_size
+        tops = np.empty(len(idxs), np.int32)
+        lefts = np.empty(len(idxs), np.int32)
+        for j, i in enumerate(idxs):
+            h, w = self._shape(int(i))
+            if h < s or w < s:
+                raise ValueError(
+                    f"{self.paths[int(i)]}: image {h}x{w} smaller than crop {s}"
+                )
+            tops[j] = rng.integers(0, h - s + 1)
+            lefts[j] = rng.integers(0, w - s + 1)
+        return tops, lefts
+
     def crop(self, idx: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """One [hr, hr, 3] uint8 crop from image idx at a random offset."""
         rng = rng or self.rng
-        img = self._get(idx)
-        h, w, _ = img.shape
+        return self.crop_batch(np.asarray([idx]), rng)[0]
+
+    def crop_batch(
+        self, idxs: np.ndarray, rng: Optional[np.random.Generator] = None
+    ) -> np.ndarray:
+        """[len(idxs), hr, hr, 3] uint8 crops; native gather when available."""
+        rng = rng or self.rng
+        tops, lefts = self._draw_offsets(idxs, rng)
         s = self.hr_size
-        if h < s or w < s:
-            raise ValueError(
-                f"{self.paths[idx]}: image {h}x{w} smaller than crop {s}"
+        if self._native is not None:
+            return self._native.crop_batch(
+                np.asarray(idxs, np.int32), tops, lefts, s
             )
-        # randint is inclusive of both ends in the reference (random.randint,
-        # dataloader.py:27-29); integers(0, n+1) matches.
-        top = int(rng.integers(0, h - s + 1))
-        left = int(rng.integers(0, w - s + 1))
-        return np.ascontiguousarray(img[top : top + s, left : left + s, :])
+        out = np.empty((len(idxs), s, s, 3), np.uint8)
+        for j, i in enumerate(idxs):
+            img = self._get(int(i))
+            t, l = int(tops[j]), int(lefts[j])
+            out[j] = img[t : t + s, l : l + s, :]
+        return out
 
     def random_batch(self, batch_size: int) -> np.ndarray:
         """With-replacement random batch (reference RandomSampler semantics,
         train.py:69-80)."""
         idxs = self.rng.integers(0, len(self.paths), size=batch_size)
-        return np.stack([self.crop(int(i)) for i in idxs])
+        return self.crop_batch(idxs)
 
     def sequential_batches(
         self, batch_size: int, seed: int = 0, drop_last: bool = True
@@ -151,10 +202,7 @@ class PrefetchLoader:
                     return
                 idxs, crop_seed = plans[b]
                 rng = np.random.default_rng(crop_seed)
-                batch = np.stack(
-                    [self.sampler.crop(int(i), rng) for i in idxs]
-                )
-                q.put((b, batch))
+                q.put((b, self.sampler.crop_batch(idxs, rng)))
 
         threads = [
             threading.Thread(target=produce, args=(w,), daemon=True)

@@ -35,6 +35,14 @@ from fast_srgan_tpu.ops.pixel_shuffle import pixel_shuffle_nhwc
 PAD1 = ((1, 1), (1, 1))
 
 
+class PReLUAlpha(nn.Module):
+    """Owns a PReLU slope param (so fused kernels share the PReLU tree path)."""
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("alpha", lambda _: jnp.full((1,), 0.25, jnp.float32))
+
+
 class PReLU(nn.Module):
     """PReLU with a single shared slope, init 0.25 (torch nn.PReLU default)."""
 
@@ -64,9 +72,9 @@ class ResidualBlock(nn.Module):
             from fast_srgan_tpu.kernels.instance_norm import (
                 instance_norm_prelu_nhwc,
             )
-            alpha = self.param(
-                "relu1_alpha", lambda _: jnp.full((1,), 0.25, jnp.float32)
-            )
+            # Same param path as the unfused PReLU ("relu1/alpha") so the two
+            # variants load identical checkpoints.
+            alpha = PReLUAlpha(name="relu1")()
             y = instance_norm_prelu_nhwc(y, alpha)
         else:
             y = instance_norm_nhwc(y)

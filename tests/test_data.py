@@ -1,0 +1,117 @@
+"""Data pipeline tests: preprocess cache, sampler determinism, native parity."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fast_srgan_tpu.data.pipeline import CropSampler, PrefetchLoader, list_numpy_files
+from fast_srgan_tpu.data.preprocess import ensure_numpy_cache, write_images_to_numpy
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    img_dir = tmp_path_factory.mktemp("imgs")
+    npy_dir = str(tmp_path_factory.mktemp("cache") / "npy")
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        h, w = int(rng.integers(100, 160)), int(rng.integers(100, 160))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+    write_images_to_numpy(str(img_dir), npy_dir, verbose=False)
+    return str(img_dir), npy_dir
+
+
+class TestPreprocess:
+    def test_cache_contents_roundtrip(self, dataset):
+        img_dir, npy_dir = dataset
+        files = list_numpy_files(npy_dir)
+        assert len(files) == 5
+        arr = np.load(files[0])
+        assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+        name = os.path.basename(files[0]).replace(".npy", ".png")
+        ref = np.asarray(Image.open(os.path.join(img_dir, name)).convert("RGB"))
+        np.testing.assert_array_equal(arr, ref)
+
+    def test_lazy_trigger(self, dataset, tmp_path):
+        img_dir, _ = dataset
+        target = str(tmp_path / "lazy")
+        ensure_numpy_cache(img_dir, target)
+        assert len(list_numpy_files(target)) == 5
+        # second call must be a no-op (dir exists)
+        ensure_numpy_cache(img_dir, target)
+
+
+class TestCropSampler:
+    def test_crop_shape_and_content(self, dataset):
+        _, npy_dir = dataset
+        s = CropSampler(list_numpy_files(npy_dir), 24, 4, seed=1, backend="numpy")
+        crop = s.crop(0)
+        assert crop.shape == (96, 96, 3) and crop.dtype == np.uint8
+
+    def test_seed_determinism(self, dataset):
+        _, npy_dir = dataset
+        paths = list_numpy_files(npy_dir)
+        a = CropSampler(paths, 24, 4, seed=7, backend="numpy").random_batch(4)
+        b = CropSampler(paths, 24, 4, seed=7, backend="numpy").random_batch(4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_native_backend_matches_numpy(self, dataset):
+        _, npy_dir = dataset
+        from fast_srgan_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native loader did not build")
+        paths = list_numpy_files(npy_dir)
+        a = CropSampler(paths, 24, 4, seed=3, backend="native").random_batch(8)
+        b = CropSampler(paths, 24, 4, seed=3, backend="numpy").random_batch(8)
+        np.testing.assert_array_equal(a, b)
+
+    def test_native_rejects_bad_offsets(self, dataset):
+        _, npy_dir = dataset
+        from fast_srgan_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native loader did not build")
+        ds = native.NativeCropDataset(list_numpy_files(npy_dir))
+        with pytest.raises(ValueError):
+            ds.crop_batch(
+                np.asarray([0], np.int32), np.asarray([10_000], np.int32),
+                np.asarray([0], np.int32), 96,
+            )
+
+    def test_sharding_partitions_files(self, dataset):
+        _, npy_dir = dataset
+        paths = list_numpy_files(npy_dir)
+        s0 = CropSampler(paths, 24, 4, shard=(0, 2), backend="numpy")
+        s1 = CropSampler(paths, 24, 4, shard=(1, 2), backend="numpy")
+        assert set(s0.paths).isdisjoint(s1.paths)
+        assert len(s0.paths) + len(s1.paths) == len(paths)
+
+    def test_crop_too_large_raises(self, dataset):
+        _, npy_dir = dataset
+        s = CropSampler(list_numpy_files(npy_dir), 64, 4, backend="numpy")  # 256 crop
+        with pytest.raises(ValueError, match="smaller than crop"):
+            s.crop(0)
+
+
+class TestPrefetchLoader:
+    def test_deterministic_across_worker_counts(self, dataset):
+        _, npy_dir = dataset
+        paths = list_numpy_files(npy_dir)
+
+        def run(workers):
+            s = CropSampler(paths, 24, 4, seed=5, backend="numpy")
+            return list(PrefetchLoader(s, 4, 6, workers=workers))
+
+        a, b = run(1), run(4)
+        assert len(a) == len(b) == 6
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_batch_shapes(self, dataset):
+        _, npy_dir = dataset
+        s = CropSampler(list_numpy_files(npy_dir), 24, 4, seed=5, backend="numpy")
+        for batch in PrefetchLoader(s, 3, 2):
+            assert batch.shape == (3, 96, 96, 3) and batch.dtype == np.uint8
