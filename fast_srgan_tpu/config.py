@@ -95,6 +95,10 @@ DEFAULTS: dict = {
         "data_axis": "data",  # 1-D mesh axis name for data parallelism
         "num_devices": None,  # None -> all local devices
         "scale_lr": False,  # linear LR scaling with data-parallel degree
+        # multi-host: call jax.distributed.initialize() at startup (set the
+        # standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+        # env vars or rely on the cluster autodetect)
+        "multihost": False,
     },
     "kernels": {
         "use_pallas": False,  # Pallas fused kernels on the generator hot path

@@ -65,6 +65,11 @@ def ssim_per_image(
     k2: float = 0.03,
 ) -> jnp.ndarray:
     """Per-image SSIM of [B, H, W, C] pairs -> [B]."""
+    if pred.shape[1] < 11 or pred.shape[2] < 11:
+        raise ValueError(
+            f"SSIM needs images >= 11x11 (gaussian kernel size); got "
+            f"{pred.shape[1]}x{pred.shape[2]}"
+        )
     kernel = jnp.asarray(_gaussian_kernel1d())
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -1,0 +1,67 @@
+"""Config system: reference YAML schema, dotted overrides, YAML-1.1 numbers."""
+
+import pytest
+
+from fast_srgan_tpu.config import ConfigNode, apply_overrides, default_config, load_config
+
+
+class TestSchema:
+    def test_reference_schema_loads(self, tmp_path):
+        # A YAML with exactly the reference's keys must load unchanged and
+        # gain the TPU sections as defaults.
+        y = tmp_path / "c.yaml"
+        y.write_text(
+            "experiment:\n  name: X\n  seed: 7\n"
+            "data:\n  image_dir: /d\n  numpy_dir: /n\n  lr_image_size: 24\n"
+            "  scale_factor: 4\n"
+            "generator:\n  n_filters: 64\n  n_layers: 8\n"
+            "discriminator:\n  n_filters: 64\n  n_layers: 7\n"
+            "training:\n  compiled: false\n  pretrain_iterations: 100\n"
+            "  iterations: 100\n  device: mps\n  log_iter: 5000\n"
+            "  checkpoint_iter: 5000\n  batch_size: 24\n  num_workers: 16\n"
+            "  generator_lr: 1e-4\n  discriminator_lr: 1e-4\n"
+        )
+        c = load_config(str(y))
+        assert c.experiment.name == "X"
+        assert c.generator.n_layers == 8
+        assert isinstance(c.training.generator_lr, float)  # YAML-1.1 trap
+        assert c.training.generator_lr == 1e-4
+        assert c.parallel.data_axis == "data"  # injected defaults
+        assert c.kernels.use_pallas is False
+
+    def test_missing_file_gives_defaults(self):
+        c = load_config("/nonexistent/path.yaml")
+        assert c.generator.n_filters == 64
+
+
+class TestOverrides:
+    def test_dotted_override_types(self):
+        c = default_config()
+        apply_overrides(
+            c,
+            [
+                "generator.n_layers=12",
+                "training.generator_lr=2e-4",
+                "experiment.name=run2",
+                "training.bf16=false",
+            ],
+        )
+        assert c.generator.n_layers == 12
+        assert c.training.generator_lr == 2e-4
+        assert c.experiment.name == "run2"
+        assert c.training.bf16 is False
+
+    def test_new_key_creation(self):
+        c = default_config()
+        apply_overrides(c, ["extra.nested.key=3"])
+        assert c.extra.nested.key == 3
+
+    def test_malformed_override_raises(self):
+        with pytest.raises(ValueError, match="key.path=value"):
+            apply_overrides(default_config(), ["training.batch_size"])
+
+    def test_attribute_access_and_missing(self):
+        c = ConfigNode({"a": {"b": 1}})
+        assert c.a.b == 1
+        with pytest.raises(AttributeError):
+            _ = c.a.missing

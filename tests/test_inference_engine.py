@@ -1,0 +1,67 @@
+"""Inference engine: normalization parity, grouping, streaming, bucketing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_srgan_tpu.inference import SRInferenceEngine
+from fast_srgan_tpu.models import Generator
+
+
+def make_engine(rng, bucket=0, n_filters=8, n_layers=2):
+    model = Generator(n_filters=n_filters, n_layers=n_layers)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    return SRInferenceEngine(
+        params, n_filters=n_filters, n_layers=n_layers,
+        dtype=jnp.float32, bucket=bucket,
+    )
+
+
+class TestUpscaleBatch:
+    def test_normalization_matches_reference_recipe(self, rng):
+        # uint8 path must equal: x/127.5-1 -> G -> (y+1)/2*255 -> uint8
+        # (reference inference.py:50-56).
+        engine = make_engine(rng)
+        batch = rng.integers(0, 256, (2, 12, 16, 3), dtype=np.uint8)
+        got = engine.upscale_batch(batch)
+        x = jnp.asarray(batch).astype(jnp.float32) / 127.5 - 1.0
+        y = engine.upscale_float(x)
+        want = np.asarray(((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8))
+        np.testing.assert_array_equal(got, want)
+        assert got.shape == (2, 48, 64, 3)
+
+    def test_bucketed_pads_and_crops(self, rng):
+        engine = make_engine(rng, bucket=16)
+        batch = rng.integers(0, 256, (1, 12, 20, 3), dtype=np.uint8)
+        out = engine.upscale_batch(batch)
+        assert out.shape == (1, 48, 80, 3)  # cropped back to 4x input
+
+
+class TestUpscaleImages:
+    def test_mixed_shapes_preserve_order(self, rng):
+        engine = make_engine(rng)
+        images = [
+            rng.integers(0, 256, (10, 12, 3), dtype=np.uint8),
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+            rng.integers(0, 256, (10, 12, 3), dtype=np.uint8),
+        ]
+        outs = engine.upscale_images(images, batch_size=2)
+        assert [o.shape for o in outs] == [
+            (40, 48, 3), (32, 32, 3), (40, 48, 3),
+        ]
+        # order preserved: each output equals its own single upscale
+        for im, out in zip(images, outs):
+            single = engine.upscale_batch(im[None])[0]
+            np.testing.assert_array_equal(out, single)
+
+
+class TestStream:
+    def test_stream_yields_all_frames_in_order(self, rng):
+        engine = make_engine(rng)
+        frames = [
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(10)
+        ]
+        outs = list(engine.stream(iter(frames), batch_size=4))
+        assert len(outs) == 10
+        for f, o in zip(frames, outs):
+            np.testing.assert_array_equal(o, engine.upscale_batch(f[None])[0])

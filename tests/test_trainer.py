@@ -1,0 +1,72 @@
+"""Trainer integration: pretrain phase, metrics protocol, checkpoint skip."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fast_srgan_tpu.config import default_config
+from fast_srgan_tpu.data.pipeline import CropSampler, PrefetchLoader, list_numpy_files
+from fast_srgan_tpu.data.preprocess import write_images_to_numpy
+from fast_srgan_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def npy_dir(tmp_path_factory):
+    img_dir = tmp_path_factory.mktemp("imgs")
+    out = str(tmp_path_factory.mktemp("cache") / "npy")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+    write_images_to_numpy(str(img_dir), out, verbose=False)
+    return out
+
+
+def make_config(tmp_path, npy_dir, name="t"):
+    return default_config(
+        data={"numpy_dir": npy_dir, "lr_image_size": 8, "scale_factor": 4},
+        generator={"n_filters": 8, "n_layers": 1},
+        discriminator={"n_filters": 8},
+        training={
+            "bf16": False,
+            "pretrain_iterations": 2,
+            "iterations": 2,
+            "batch_size": 2,
+            "log_iter": 1,
+            "checkpoint_iter": 2,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        },
+        experiment={"name": name, "seed": 0},
+    )
+
+
+class TestPretrainPhase:
+    def test_pretrain_then_skip_on_rerun(self, npy_dir, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir)
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+        loader = PrefetchLoader(sampler, 2, 2, workers=1)
+
+        trainer = Trainer(config)
+        trainer.pretrain(loader, sampler)
+        step_after = int(trainer.g_state.step)
+        assert step_after == 2
+        trainer.close()
+
+        # metrics.jsonl carries the reference tag schema
+        log = (tmp_path / "runs" / "t" / "metrics.jsonl").read_text()
+        assert "Pretrain/PSNR" in log and "Pretrain/Generator/Loss" in log
+
+        # Second trainer: pretrain checkpoint found -> phase skipped, params
+        # restored (reference trainer.py:90-94 semantics, filename bug fixed).
+        trainer2 = Trainer(config)
+        loader2 = PrefetchLoader(sampler, 2, 2, workers=1)
+        trainer2.pretrain(loader2, sampler)
+        a = np.asarray(trainer.g_state.params["params"]["neck_conv"]["kernel"])
+        b = np.asarray(trainer2.g_state.params["params"]["neck_conv"]["kernel"])
+        np.testing.assert_array_equal(a, b)
+        trainer2.close()

@@ -36,6 +36,11 @@ def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     config = load_config("configs/config.yaml", overrides=argv)
 
+    if config.parallel.multihost:
+        # DCN bring-up: after this, jax.devices() spans all hosts and the
+        # same mesh/sharding code below runs the global program (SPMD).
+        jax.distributed.initialize()
+
     np.random.seed(config.experiment.seed)
 
     ensure_numpy_cache(
