@@ -53,8 +53,17 @@ def load_generator_params(path: str):
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("Real Time Image Super Resolution (TPU)")
-    parser.add_argument("--image_dir", required=True, type=str)
-    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--image_dir", default=None, type=str)
+    parser.add_argument("--output_dir", default=None, type=str)
+    parser.add_argument(
+        "--video", default=None, type=str,
+        help="upscale a video file instead of an image directory "
+        "(streamed: decode, batched device pipeline, and encode overlap)",
+    )
+    parser.add_argument(
+        "--video_out", default=None, type=str,
+        help="output video path (default: <output_dir>/<video basename>)",
+    )
     parser.add_argument("--checkpoint", default=None, type=str)
     parser.add_argument("--config", default="configs/config.yaml", type=str)
     parser.add_argument("--batch_size", default=8, type=int)
@@ -71,6 +80,10 @@ def main(argv=None) -> None:
         " tiling with psum'd instance-norm statistics; width must divide N)",
     )
     args = parser.parse_args(argv)
+    if args.video is None and (args.image_dir is None or args.output_dir is None):
+        parser.error("--image_dir and --output_dir are required (or use --video)")
+    if args.video is not None and args.video_out is None and args.output_dir is None:
+        parser.error("--video needs --video_out or --output_dir")
 
     ckpt = args.checkpoint
     if ckpt is None:
@@ -91,6 +104,23 @@ def main(argv=None) -> None:
         bucket=args.bucket,
         use_pallas=config.kernels.use_pallas,
     )
+
+    if args.video is not None:
+        from fast_srgan_tpu.video import upscale_video
+
+        out_path = args.video_out or os.path.join(
+            args.output_dir, os.path.basename(args.video)
+        )
+        if args.output_dir:
+            os.makedirs(args.output_dir, exist_ok=True)
+        stats = upscale_video(
+            engine, args.video, out_path, batch_size=args.batch_size
+        )
+        print(
+            f"Done: {stats['frames']} frames in {stats['seconds']:.2f}s "
+            f"({stats['frames'] / max(stats['seconds'], 1e-9):.1f} fps) -> {out_path}"
+        )
+        return
 
     os.makedirs(args.output_dir, exist_ok=True)
     names = list_image_files(args.image_dir)
