@@ -216,6 +216,52 @@ def load_reference_generator_params(path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# Discriminator conversion
+# ---------------------------------------------------------------------------
+# Reference key schema (model.py:139-193): neck.0.{weight,bias};
+# stem.{0..6}.conv.weight (SimpleBlocks, bias-free); stem.7.{weight,bias}
+# (the final 1x1 conv appended raw to the Sequential).
+
+def discriminator_params_from_torch_state_dict(
+    sd: Mapping[str, np.ndarray]
+) -> Dict[str, Any]:
+    sd = _strip_compile_prefix(sd)
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    p: Dict[str, Any] = {
+        "neck_conv": {
+            "kernel": _oihw_to_hwio(sd["neck.0.weight"]),
+            "bias": sd["neck.0.bias"],
+        },
+        "head_conv": {
+            "kernel": _oihw_to_hwio(sd["stem.7.weight"]),
+            "bias": sd["stem.7.bias"],
+        },
+    }
+    for i in range(7):
+        p[f"stem_{i}"] = {
+            "conv": {"kernel": _oihw_to_hwio(sd[f"stem.{i}.conv.weight"])}
+        }
+    return {"params": p}
+
+
+def discriminator_params_to_torch_state_dict(
+    params: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, np.ndarray] = {
+        "neck.0.weight": _hwio_to_oihw(np.asarray(p["neck_conv"]["kernel"])),
+        "neck.0.bias": np.asarray(p["neck_conv"]["bias"]),
+        "stem.7.weight": _hwio_to_oihw(np.asarray(p["head_conv"]["kernel"])),
+        "stem.7.bias": np.asarray(p["head_conv"]["bias"]),
+    }
+    for i in range(7):
+        sd[f"stem.{i}.conv.weight"] = _hwio_to_oihw(
+            np.asarray(p[f"stem_{i}"]["conv"]["kernel"])
+        )
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # VGG19 conversion (torchvision `vgg19` state_dict -> VGG19Features params)
 # ---------------------------------------------------------------------------
 

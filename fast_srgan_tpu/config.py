@@ -87,6 +87,7 @@ DEFAULTS: dict = {
         "discriminator_lr": 1e-4,
         # --- TPU additions ---
         "bf16": True,  # bf16 compute, fp32 params/optimizer
+        "remat": False,  # rematerialize stem blocks (memory for FLOPs)
         "vgg_weights": None,  # path to a torchvision vgg19 state_dict (.pth)
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt

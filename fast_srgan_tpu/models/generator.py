@@ -110,6 +110,11 @@ class Generator(nn.Module):
     n_layers: int = 8
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Rematerialize residual blocks in the backward pass: activations of the
+    # stem are recomputed instead of stored, trading ~2x stem FLOPs for
+    # O(n_layers) less HBM — the standard lever for scaled configs (more
+    # blocks/filters, larger crops) on a fixed-HBM chip.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,9 +125,10 @@ class Generator(nn.Module):
         )(x)
         residual = PReLU(dtype=self.dtype, name="neck_relu")(residual)
 
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         y = residual
         for i in range(self.n_layers):
-            y = ResidualBlock(
+            y = block_cls(
                 self.n_filters, dtype=self.dtype, use_pallas=self.use_pallas,
                 name=f"stem_{i}",
             )(y)

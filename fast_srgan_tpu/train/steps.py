@@ -98,6 +98,7 @@ def build_bundle(
         n_layers=config.generator.n_layers,
         dtype=dtype,
         use_pallas=config.kernels.use_pallas,
+        remat=config.training.get("remat", False),
     )
     discriminator = Discriminator(
         n_filters=config.discriminator.n_filters, dtype=dtype

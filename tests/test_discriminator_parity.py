@@ -1,0 +1,52 @@
+"""Discriminator parity vs a torch functional oracle + converter roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from fast_srgan_tpu.checkpoints.torch_compat import (
+    discriminator_params_from_torch_state_dict,
+    discriminator_params_to_torch_state_dict,
+)
+from fast_srgan_tpu.models import Discriminator
+
+
+def torch_discriminator_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
+    """Oracle executing the reference critic graph (model.py:120-193)."""
+    w = {k: torch.from_numpy(v) for k, v in sd.items()}
+    y = F.conv2d(x, w["neck.0.weight"], w["neck.0.bias"], padding=1)
+    y = F.leaky_relu(y, 0.2)
+    strides = [2, 1, 2, 1, 2, 1, 2]
+    for i, s in enumerate(strides):
+        y = F.conv2d(y, w[f"stem.{i}.conv.weight"], None, stride=s, padding=1)
+        y = F.instance_norm(y)
+        y = F.leaky_relu(y, 0.01)  # torch LeakyReLU default (model.py:133)
+    return F.conv2d(y, w["stem.7.weight"], w["stem.7.bias"])
+
+
+class TestDiscriminatorParity:
+    def test_forward_matches_torch(self, rng):
+        model = Discriminator(n_filters=16)
+        params = model.init(jax.random.key(1), jnp.zeros((1, 96, 96, 3)))
+        sd = discriminator_params_to_torch_state_dict(params)
+
+        x = rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+        ours = np.asarray(model.apply(params, jnp.asarray(x)))
+        x_t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+        with torch.no_grad():
+            theirs = torch_discriminator_forward(sd, x_t)
+        theirs = theirs.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
+
+    def test_converter_roundtrip(self):
+        model = Discriminator(n_filters=8)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        sd = discriminator_params_to_torch_state_dict(params)
+        back = discriminator_params_from_torch_state_dict(sd)
+        flat_a = jax.tree.leaves(params)
+        flat_b = jax.tree.leaves(back)
+        assert len(flat_a) == len(flat_b) == 11
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

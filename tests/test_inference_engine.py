@@ -27,7 +27,10 @@ class TestUpscaleBatch:
         x = jnp.asarray(batch).astype(jnp.float32) / 127.5 - 1.0
         y = engine.upscale_float(x)
         want = np.asarray(((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8))
-        np.testing.assert_array_equal(got, want)
+        # Two separately-compiled programs: XLA fusion may round the last
+        # bit differently, so allow a 1-count difference.
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1
         assert got.shape == (2, 48, 64, 3)
 
     def test_bucketed_pads_and_crops(self, rng):
