@@ -1,0 +1,29 @@
+# Convenience targets for fast_srgan_tpu.
+
+.PHONY: native test bench smoke clean
+
+# Build the native C++ crop-gather loader (also built lazily on first use).
+native:
+	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libfastsr_loader.so \
+	    csrc/fastsr_loader.cpp -lpthread
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+# Tiny end-to-end training smoke on the virtual 8-device CPU mesh.
+smoke:
+	PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu \
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python train.py data.image_dir=/tmp/sr_train data.numpy_dir=/tmp/sr_np \
+	  generator.n_filters=16 generator.n_layers=2 discriminator.n_filters=16 \
+	  training.pretrain_iterations=4 training.iterations=4 \
+	  training.batch_size=8 training.log_iter=2 training.checkpoint_iter=2 \
+	  training.bf16=false experiment.name=smoke
+
+clean:
+	rm -f csrc/libfastsr_loader.so
+	rm -rf runs outputs .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
