@@ -51,6 +51,9 @@ def main() -> None:
 
     from __graft_entry__ import entry  # flagship model + pretrained params
     from fast_srgan_tpu.models import Generator
+    from fast_srgan_tpu.utils import jax_cache
+
+    jax_cache.enable()
 
     _, (params, _) = entry()
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"

@@ -21,7 +21,6 @@ forward's HBM traffic.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

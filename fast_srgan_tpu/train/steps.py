@@ -33,7 +33,6 @@ TPU-first details:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -27,7 +27,10 @@ import numpy as np
 from fast_srgan_tpu.checkpoints.torch_compat import load_reference_generator_params
 from fast_srgan_tpu.config import load_config
 from fast_srgan_tpu.inference import SRInferenceEngine
+from fast_srgan_tpu.utils import jax_cache
 from fast_srgan_tpu.utils.images import list_image_files, load_image_u8, save_image_u8
+
+jax_cache.enable()
 
 DEFAULT_CHECKPOINTS = (
     "models/generator_pretrained.npz",

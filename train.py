@@ -30,6 +30,9 @@ from fast_srgan_tpu.data.pipeline import make_loaders
 from fast_srgan_tpu.data.preprocess import ensure_numpy_cache
 from fast_srgan_tpu.parallel.mesh import make_mesh
 from fast_srgan_tpu.train.trainer import Trainer
+from fast_srgan_tpu.utils import jax_cache
+
+jax_cache.enable()
 
 
 def main(argv=None) -> None:
