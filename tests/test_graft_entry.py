@@ -1,0 +1,45 @@
+"""Driver contract: entry() jits; dryrun_multichip runs on the CPU mesh."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def graft():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    return __graft_entry__
+
+
+class TestEntry:
+    def test_forward_jits_and_runs(self, graft):
+        fn, args = graft.entry()
+        out = jax.jit(fn)(*args)
+        params, x = args
+        assert out.shape == (x.shape[0], x.shape[1] * 4, x.shape[2] * 4, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_uses_pretrained_weights_when_available(self, graft):
+        import os
+
+        fn, (params, x) = graft.entry()
+        if os.path.exists("/root/repo/models/generator_pretrained.npz"):
+            flat = dict(np.load("/root/repo/models/generator_pretrained.npz"))
+            some = flat["params/neck_conv/bias"]
+            np.testing.assert_array_equal(
+                np.asarray(params["params"]["neck_conv"]["bias"]), some
+            )
+
+
+class TestDryrunMultichip:
+    def test_eight_virtual_devices(self, graft, capsys):
+        graft.dryrun_multichip(8)
+        assert "dryrun_multichip(8) ok" in capsys.readouterr().out
+
+    def test_four_devices(self, graft, capsys):
+        graft.dryrun_multichip(4)
+        assert "dryrun_multichip(4) ok" in capsys.readouterr().out
