@@ -19,6 +19,13 @@ import jax  # noqa: E402
 if jax.config.jax_platforms != "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+import tempfile  # noqa: E402
+
+from fast_srgan_tpu.utils import jax_cache  # noqa: E402
+
+# Compiles dominate suite runtime; persist them across pytest runs.
+jax_cache.enable(os.path.join(tempfile.gettempdir(), "fastsr_test_xla_cache"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
