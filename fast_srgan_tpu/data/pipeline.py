@@ -185,23 +185,18 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        # Pre-draw all (file, top-offset-seed) decisions on the main RNG so
-        # results are deterministic regardless of thread interleaving.
-        plans = [
-            (
-                self.sampler.rng.integers(0, len(self.sampler), self.batch_size),
-                int(self.sampler.rng.integers(0, 2**63 - 1)),
-            )
-            for _ in range(self.num_batches)
-        ]
+        # Per-batch RNGs derived from (base seed, batch index): deterministic
+        # regardless of thread interleaving, O(1) memory at any iteration
+        # count (no pre-drawn plan list).
+        base_seed = int(self.sampler.rng.integers(0, 2**63 - 1))
         done = threading.Event()
 
         def produce(worker_id: int) -> None:
             for b in range(worker_id, self.num_batches, self.workers):
                 if done.is_set():
                     return
-                idxs, crop_seed = plans[b]
-                rng = np.random.default_rng(crop_seed)
+                rng = np.random.default_rng((base_seed, b))
+                idxs = rng.integers(0, len(self.sampler), self.batch_size)
                 q.put((b, self.sampler.crop_batch(idxs, rng)))
 
         threads = [

@@ -112,23 +112,51 @@ class SRInferenceEngine:
         self, images: Sequence[np.ndarray], batch_size: int = 8
     ) -> List[np.ndarray]:
         """Upscale a list of uint8 HWC images, batching same-shape groups."""
+        images = list(images)
+        outputs: List[np.ndarray] = [None] * len(images)  # type: ignore
+        sizes = [im.shape[:2] for im in images]
+        for i, out in self._grouped_upscale(sizes, lambda i: images[i], batch_size):
+            outputs[i] = out
+        return outputs
+
+    def upscale_files(
+        self, paths: Sequence[str], batch_size: int = 8
+    ) -> Iterator[Tuple[int, np.ndarray]]:
+        """Memory-bounded directory path: group by header-declared size and
+        decode at most one batch at a time. Yields (original_index, output).
+        """
+        from PIL import Image
+
+        from fast_srgan_tpu.utils.images import load_image_u8
+
+        sizes = []
+        for path in paths:
+            with Image.open(path) as im:  # lazy: header only, no decode
+                w, h = im.size
+            sizes.append((h, w))
+        yield from self._grouped_upscale(
+            sizes, lambda i: load_image_u8(paths[i]), batch_size
+        )
+
+    def _grouped_upscale(
+        self, sizes, take, batch_size
+    ) -> Iterator[Tuple[int, np.ndarray]]:
+        """Shared same-shape grouping/batching; trailing partial batches are
+        padded to the compiled batch size rather than recompiled. Yields
+        (original_index, upscaled) as each batch completes."""
         order: Dict[Tuple[int, int], List[int]] = {}
-        for i, im in enumerate(images):
-            order.setdefault(im.shape[:2], []).append(i)
-        results: List[np.ndarray] = [None] * len(images)  # type: ignore
+        for i, hw in enumerate(sizes):
+            order.setdefault(tuple(hw), []).append(i)
         for _, idxs in order.items():
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start : start + batch_size]
-                batch = np.stack([images[i] for i in chunk])
+                batch = np.stack([take(i) for i in chunk])
                 if len(chunk) < batch_size and len(idxs) > batch_size:
-                    # Pad the trailing partial batch to the compiled batch
-                    # size instead of triggering a fresh compile for it.
                     pad = batch_size - len(chunk)
                     batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
                 out = self.upscale_batch(batch)
                 for j, i in enumerate(chunk):
-                    results[i] = out[j]
-        return results
+                    yield i, out[j]
 
     def stream(
         self, frames: Iterable[np.ndarray], batch_size: int = 8

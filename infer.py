@@ -127,8 +127,8 @@ def main(argv=None) -> None:
 
     os.makedirs(args.output_dir, exist_ok=True)
     names = list_image_files(args.image_dir)
+    paths = [os.path.join(args.image_dir, n) for n in names]
     print(f"Found {len(names)} to super resolve, starting...")
-    images = [load_image_u8(os.path.join(args.image_dir, n)) for n in names]
     t0 = time.perf_counter()
     if args.tile > 0:
         from fast_srgan_tpu.parallel.mesh import make_mesh
@@ -136,11 +136,13 @@ def main(argv=None) -> None:
 
         mesh = make_mesh(args.tile, axis_name="sp")
         dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-        outputs = [tiled_upscale_u8(params, im, mesh, dtype=dtype) for im in images]
+        for name, path in zip(names, paths):
+            out = tiled_upscale_u8(params, load_image_u8(path), mesh, dtype=dtype)
+            save_image_u8(os.path.join(args.output_dir, name), out)
     else:
-        outputs = engine.upscale_images(images, batch_size=args.batch_size)
-    for name, out in zip(names, outputs):
-        save_image_u8(os.path.join(args.output_dir, os.path.basename(name)), out)
+        # Memory-bounded: images decoded one batch at a time, saved as done.
+        for i, out in engine.upscale_files(paths, batch_size=args.batch_size):
+            save_image_u8(os.path.join(args.output_dir, names[i]), out)
     dt = time.perf_counter() - t0
     print(f"Done: {len(names)} images in {dt:.2f}s ({len(names) / dt:.1f} img/s)")
 

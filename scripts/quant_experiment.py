@@ -51,7 +51,7 @@ def forward_instrumented(p, x, record):
         return jnp.where(t >= 0, t, alpha.astype(t.dtype) * t)
 
     def conv(t, name):
-        record[name] = jnp.quantile(jnp.abs(t), 0.999)
+        record[name] = jnp.max(jnp.abs(t))
         node = get_node(p, name)
         y = lax.conv_general_dilated(
             t, node["kernel"], (1, 1), padding=((1, 1), (1, 1)),
@@ -135,10 +135,15 @@ def main():
     calib += rng.normal(0, 12, calib.shape)
     calib = np.clip(calib, 0, 255) / 127.5 - 1.0
 
-    record = {}
-    ref_out = forward_instrumented(p, jnp.asarray(calib, jnp.float32), record)
+    @jax.jit
+    def calibrate(xc):
+        record = {}
+        forward_instrumented(p, xc, record)
+        return record
+
+    record = calibrate(jnp.asarray(calib, jnp.float32))
     scales = {k: float(v) / 127.0 for k, v in record.items()}
-    print("calibrated", len(scales), "activation scales")
+    print("calibrated", len(scales), "activation scales", flush=True)
 
     q = quantize_weights(p)
 
@@ -151,8 +156,8 @@ def main():
     test = test / 127.5 - 1.0
     x = jnp.asarray(test, jnp.float32)
 
-    f32 = np.asarray(jax.jit(lambda: forward_instrumented(p, x, {}))())
-    i8 = np.asarray(jax.jit(lambda: forward_int8(p, q, scales, x))())
+    f32 = np.asarray(jax.jit(lambda xi: forward_instrumented(p, xi, {}))(x))
+    i8 = np.asarray(jax.jit(lambda xi: forward_int8(p, q, scales, xi))(x))
     u32 = np.clip((f32 + 1) * 127.5, 0, 255).astype(np.uint8)
     u8q = np.clip((i8 + 1) * 127.5, 0, 255).astype(np.uint8)
     mse = ((u32.astype(float) - u8q.astype(float)) ** 2).mean()
