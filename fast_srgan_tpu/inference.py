@@ -26,7 +26,6 @@ loop (its throughput limiter — SURVEY.md §3.3):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Iterable, Iterator, List, Sequence, Tuple
 
 import jax
@@ -70,7 +69,7 @@ class SRInferenceEngine:
         self.params = jax.device_put(params)
         self.bucket = bucket
 
-        @functools.partial(jax.jit, static_argnums=())
+        @jax.jit
         def _forward_u8(p, x_u8: jnp.ndarray) -> jnp.ndarray:
             # uint8 NHWC -> [-1,1] float on device (reference inference.py:50)
             x = x_u8.astype(jnp.float32) / 127.5 - 1.0
