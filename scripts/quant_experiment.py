@@ -3,8 +3,17 @@
 
 Measures (a) output quality of an int8-quantized pretrained generator vs the
 fp32 graph and (b) throughput vs bf16 with the checksum-barrier protocol.
-Per-output-channel weight scales; per-layer static activation scales
-calibrated at the 99.9th percentile of |activation| over calibration crops.
+Per-output-channel weight scales; per-layer static activation absmax scales
+from calibration crops.
+
+RESULT (v5e, 2026-08-16) — int8 is a dead end on this stack and stays OUT of
+the production path:
+    int8 vs fp32 quality : 34.1 dB PSNR (marginal for SR)
+    bf16                 : 71.9 ms/batch16 -> 222.5 fps
+    int8                 : 144.2 ms/batch16 -> 110.9 fps  (2x SLOWER)
+XLA's NHWC int8 convolution lowering does not hit the v5e int8 MXU fast path
+from this input program; the per-layer quantize/dequantize chains add HBM
+passes that swamp any MXU gain. Kept as a reproducible experiment record.
 """
 
 from __future__ import annotations
