@@ -18,3 +18,32 @@ fused hot ops.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "Generator",
+    "Discriminator",
+    "VGG19Features",
+    "SRInferenceEngine",
+    "Trainer",
+    "load_config",
+]
+
+
+def __getattr__(name):  # lazy top-level API (keeps bare import light)
+    if name in ("Generator", "Discriminator", "VGG19Features"):
+        import fast_srgan_tpu.models as models
+
+        return getattr(models, name)
+    if name == "SRInferenceEngine":
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        return SRInferenceEngine
+    if name == "Trainer":
+        from fast_srgan_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "load_config":
+        from fast_srgan_tpu.config import load_config
+
+        return load_config
+    raise AttributeError(name)

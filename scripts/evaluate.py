@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Standalone PSNR/SSIM evaluation of a checkpoint over an image directory.
+
+The reference computes PSNR/SSIM only inside training (trainer.py:53-69, on
+random crops of the training images). This CLI evaluates any checkpoint with
+the standard SR protocol on whole images: HR ground truth -> bicubic-
+antialias x4 downsample (the training degradation, dataloader.py:15-19) ->
+generator -> PSNR/SSIM vs ground truth on [0,1] images.
+
+    python scripts/evaluate.py --image_dir DIV2K_valid_HR \
+        [--checkpoint models/generator_pretrained.npz] [--crop 192] [--fp32]
+
+Images are center-cropped to a multiple of 4 (or to --crop) so LR synthesis
+is exact. Prints per-image and aggregate PSNR / mean SSIM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from fast_srgan_tpu.metrics.psnr_ssim import (  # noqa: E402
+    psnr_from_accumulator,
+    ssim_per_image,
+)
+from fast_srgan_tpu.models import Generator  # noqa: E402
+from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc  # noqa: E402
+from fast_srgan_tpu.utils import jax_cache  # noqa: E402
+from fast_srgan_tpu.utils.images import list_image_files, load_image_u8  # noqa: E402
+
+jax_cache.enable()
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--image_dir", required=True)
+    parser.add_argument("--checkpoint", default="models/generator_pretrained.npz")
+    parser.add_argument("--crop", type=int, default=0,
+                        help="center-crop HR to this size (0 = full image)")
+    parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--n_filters", type=int, default=64)
+    parser.add_argument("--n_layers", type=int, default=8)
+    args = parser.parse_args()
+
+    from infer import load_generator_params
+
+    params = load_generator_params(args.checkpoint)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = Generator(
+        n_filters=args.n_filters, n_layers=args.n_layers, dtype=dtype
+    )
+
+    import jax
+
+    @jax.jit
+    def evaluate(hr_u8):
+        hr = hr_u8.astype(jnp.float32)
+        h, w = hr.shape[1], hr.shape[2]
+        lr = resize_bicubic_nhwc(hr, h // 4, w // 4) / 127.5 - 1.0
+        sr01 = (model.apply(params, lr) + 1.0) / 2.0
+        sr01 = jnp.clip(sr01, 0.0, 1.0)
+        hr01 = hr / 255.0
+        diff = sr01 - hr01
+        return jnp.sum(diff * diff), ssim_per_image(sr01, hr01)[0]
+
+    names = list_image_files(args.image_dir)
+    if not names:
+        raise SystemExit(f"no images in {args.image_dir}")
+    sse_total = n_total = ssim_total = 0.0
+    for name in names:
+        img = load_image_u8(os.path.join(args.image_dir, name))
+        h, w = img.shape[:2]
+        if args.crop:
+            ch = cw = min(args.crop, (min(h, w) // 4) * 4)
+        else:
+            ch, cw = (h // 4) * 4, (w // 4) * 4
+        top, left = (h - ch) // 2, (w - cw) // 2
+        crop = img[top : top + ch, left : left + cw]
+        sse, ssim = evaluate(jnp.asarray(crop[None]))
+        n = crop.size
+        psnr = psnr_from_accumulator(float(sse), float(n))
+        print(f"{name:<28} PSNR {psnr:6.2f} dB   SSIM {float(ssim):.4f}")
+        sse_total += float(sse)
+        n_total += n
+        ssim_total += float(ssim)
+
+    print("-" * 56)
+    print(
+        f"{'aggregate':<28} PSNR {psnr_from_accumulator(sse_total, n_total):6.2f} dB"
+        f"   SSIM {ssim_total / len(names):.4f}   ({len(names)} images)"
+    )
+
+
+if __name__ == "__main__":
+    main()

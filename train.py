@@ -51,6 +51,14 @@ def main(argv=None) -> None:
         config.data.numpy_dir,
         workers=config.training.num_workers,
     )
+    import os
+
+    if not any(f.endswith(".npy") for f in os.listdir(config.data.numpy_dir)):
+        raise SystemExit(
+            f"No training images: data.image_dir={config.data.image_dir!r} "
+            f"produced an empty cache at {config.data.numpy_dir!r} "
+            "(expected .png/.jpg images)"
+        )
 
     mesh = make_mesh(
         num_devices=config.parallel.num_devices,
