@@ -70,3 +70,33 @@ class TestPretrainPhase:
         b = np.asarray(trainer2.g_state.params["params"]["neck_conv"]["kernel"])
         np.testing.assert_array_equal(a, b)
         trainer2.close()
+
+
+class TestGanPhase:
+    def test_train_then_resume_from_latest(self, npy_dir, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="g")
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+
+        trainer = Trainer(config)
+        trainer.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer.train(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        assert int(trainer.g_state.step) == 4  # 2 pretrain + 2 GAN
+        trainer.close()
+
+        log = (tmp_path / "runs" / "g" / "metrics.jsonl").read_text()
+        for tag in (
+            "Loss/Discriminator/Real", "Loss/Discriminator/Fake",
+            "Loss/Generator/Adversarial", "Loss/Generator/Content",
+            "GAN/PSNR", "GAN/SSIM",
+        ):
+            assert tag in log, tag
+
+        # Restart: pretrain skipped, GAN resumes from the step-2 checkpoint.
+        trainer2 = Trainer(config)
+        trainer2.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer2.train(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        assert int(trainer2.g_state.step) == 4  # resumed at 2, ran 2 more
+        trainer2.close()
