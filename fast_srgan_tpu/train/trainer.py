@@ -197,6 +197,18 @@ class Trainer:
         self._setup_fixed_images(val_sampler, "GAN")
         log_iter = self.config.training.log_iter
         ckpt_iter = self.config.training.checkpoint_iter
+        try:
+            self._gan_loop(loader, val_sampler, start_step, log_iter, ckpt_iter)
+        except KeyboardInterrupt:
+            # Graceful interrupt: snapshot the current states so the run can
+            # resume exactly where it stopped (resume-from-latest).
+            step = int(self.g_state.step)
+            print(f"\nInterrupted at step {step}; checkpointing before exit")
+            self.save_checkpoints(step)
+            self.ckpt.wait()
+            raise
+
+    def _gan_loop(self, loader, val_sampler, start_step, log_iter, ckpt_iter):
         for step, batch in enumerate(
             tqdm(loader, desc="GAN Training", total=len(loader)),
             start=start_step + 1,

@@ -24,6 +24,7 @@ class MetricsWriter:
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
+        self._log_dir = log_dir
         self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter  # noqa: PLC0415
@@ -45,10 +46,32 @@ class MetricsWriter:
         )
 
     def images(self, tag: str, images01: np.ndarray, step: int) -> None:
-        """images01: [N, H, W, C] float in [0, 1]."""
+        """images01: [N, H, W, C] float in [0, 1]. Logged to TensorBoard and
+        also written as a PNG grid under <log_dir>/panels/ (viewable without
+        TensorBoard)."""
+        arr = np.clip(np.asarray(images01, dtype=np.float32), 0.0, 1.0)
         if self._tb is not None:
-            arr = np.clip(np.asarray(images01, dtype=np.float32), 0.0, 1.0)
             self._tb.add_images(tag, arr, global_step=step, dataformats="NHWC")
+        try:
+            from PIL import Image
+
+            n, h, w, c = arr.shape
+            cols = min(n, 8)
+            rows = (n + cols - 1) // cols
+            grid = np.zeros((rows * h, cols * w, c), np.uint8)
+            for k in range(n):
+                r, col = divmod(k, cols)
+                grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = (
+                    arr[k] * 255
+                ).astype(np.uint8)
+            panel_dir = os.path.join(self._log_dir, "panels")
+            os.makedirs(panel_dir, exist_ok=True)
+            safe_tag = tag.replace("/", "_")
+            Image.fromarray(grid.squeeze()).save(
+                os.path.join(panel_dir, f"{safe_tag}_{step:08d}.png")
+            )
+        except Exception:
+            pass  # panels are best-effort
 
     def flush(self) -> None:
         if self._tb is not None:
