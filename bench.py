@@ -44,6 +44,9 @@ REFERENCE_FPS = 27.0  # reference README.md:16-18 (180x320 -> 720p, M1 Pro)
 def main() -> None:
     frames = int(os.environ.get("BENCH_FRAMES", "800"))
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    # Round the request up to whole batches — fps counts frames actually
+    # processed, so frames and the numerator must agree.
+    frames = ((frames + batch_size - 1) // batch_size) * batch_size
     h, w = 180, 320
 
     import jax

@@ -184,20 +184,29 @@ class PrefetchLoader:
         return self.num_batches
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        return self.iter_from(0)
+
+    def iter_from(self, start: int) -> Iterator[np.ndarray]:
+        """Yield batches start..num_batches-1. Per-batch RNGs derive from
+        (base seed, batch index), so a resumed run consumes exactly the batch
+        plans the uninterrupted run would have — deterministic regardless of
+        thread interleaving, O(1) memory at any iteration count."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        # Per-batch RNGs derived from (base seed, batch index): deterministic
-        # regardless of thread interleaving, O(1) memory at any iteration
-        # count (no pre-drawn plan list).
         base_seed = int(self.sampler.rng.integers(0, 2**63 - 1))
         done = threading.Event()
+        _ERR = object()
 
         def produce(worker_id: int) -> None:
-            for b in range(worker_id, self.num_batches, self.workers):
+            for b in range(start + worker_id, self.num_batches, self.workers):
                 if done.is_set():
                     return
-                rng = np.random.default_rng((base_seed, b))
-                idxs = rng.integers(0, len(self.sampler), self.batch_size)
-                q.put((b, self.sampler.crop_batch(idxs, rng)))
+                try:
+                    rng = np.random.default_rng((base_seed, b))
+                    idxs = rng.integers(0, len(self.sampler), self.batch_size)
+                    q.put((b, self.sampler.crop_batch(idxs, rng)))
+                except Exception as e:  # surface to the consumer, don't hang
+                    q.put((_ERR, e))
+                    return
 
         threads = [
             threading.Thread(target=produce, args=(w,), daemon=True)
@@ -209,10 +218,12 @@ class PrefetchLoader:
         try:
             # Reorder-buffer so batches come out in plan order (determinism).
             received = {}
-            next_idx = 0
-            for _ in range(self.num_batches):
+            next_idx = start
+            for _ in range(self.num_batches - start):
                 while next_idx not in received:
                     b, batch = q.get()
+                    if b is _ERR:
+                        raise batch
                     received[b] = batch
                 yield received.pop(next_idx)
                 next_idx += 1

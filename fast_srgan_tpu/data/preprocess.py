@@ -27,8 +27,10 @@ def write_images_to_numpy(
     image_dir: str, numpy_dir: str, workers: int = 16, verbose: bool = True
 ) -> int:
     """Decode every image in image_dir into an HWC uint8 .npy in numpy_dir."""
-    os.makedirs(numpy_dir, exist_ok=True)
+    # List images BEFORE creating the cache dir: a typo'd image_dir must not
+    # leave behind an empty cache that masks the error on later runs.
     names = list_image_files(image_dir)
+    os.makedirs(numpy_dir, exist_ok=True)
 
     def _write(name: str) -> None:
         stem = os.path.splitext(name)[0]
@@ -43,6 +45,11 @@ def write_images_to_numpy(
 
 
 def ensure_numpy_cache(image_dir: str, numpy_dir: str, workers: int = 16) -> None:
-    """Lazily build the cache when missing (reference train.py:48-56)."""
-    if not os.path.exists(numpy_dir):
-        write_images_to_numpy(image_dir, numpy_dir, workers)
+    """Lazily build the cache when missing OR empty (the reference only
+    checks existence — train.py:48-56 — so an interrupted/failed first run
+    leaves an empty dir that permanently skips preprocessing)."""
+    if os.path.isdir(numpy_dir) and any(
+        f.endswith(".npy") for f in os.listdir(numpy_dir)
+    ):
+        return
+    write_images_to_numpy(image_dir, numpy_dir, workers)

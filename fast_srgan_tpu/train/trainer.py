@@ -57,10 +57,14 @@ class Trainer:
         ckpt_dir = config.training.checkpoint_dir or os.path.join(
             "runs", config.experiment.name, "ckpt"
         )
+        # Separate managers: GAN-phase retention must never garbage-collect
+        # the end-of-pretrain snapshot, so it lives in its own directory.
         self.ckpt = CheckpointIO(ckpt_dir)
+        self.pretrain_ckpt = CheckpointIO(ckpt_dir + "_pretrain", max_to_keep=1)
         self.fixed_lr01: Optional[np.ndarray] = None
         self.fixed_hr01: Optional[np.ndarray] = None
         self._rng = jax.random.key(config.experiment.seed)
+        self._gan_step = 0  # GAN loop step (checkpoint/metric key)
 
     # -- helpers --------------------------------------------------------------
 
@@ -155,9 +159,9 @@ class Trainer:
     # -- phase 1 ---------------------------------------------------------------
 
     def pretrain(self, loader: PrefetchLoader, val_sampler: CropSampler) -> None:
-        if self.config.training.resume and self.ckpt.has_step(PRETRAIN_STEP):
+        if self.config.training.resume and self.pretrain_ckpt.has_step(PRETRAIN_STEP):
             print("Pretrained checkpoint found, skipping pretraining")
-            tree = self.ckpt.restore(PRETRAIN_STEP, like=self._state_tree())
+            tree = self.pretrain_ckpt.restore(PRETRAIN_STEP, like=self._state_tree())
             self._load_state_tree(tree, step=0)
             return
         self.validate(val_sampler, "Pretrain", step=0)
@@ -176,41 +180,63 @@ class Trainer:
             if step % ckpt_iter == 0:
                 self._log_generated("Pretrain/Generated", step)
                 self.validate(val_sampler, "Pretrain", step)
-        self.ckpt.save(PRETRAIN_STEP, self._state_tree())
-        self.ckpt.wait()
+        self.pretrain_ckpt.save(PRETRAIN_STEP, self._state_tree())
+        self.pretrain_ckpt.wait()
 
     # -- phase 2 ---------------------------------------------------------------
 
     def train(self, loader: PrefetchLoader, val_sampler: CropSampler) -> None:
+        """GAN phase. `training.iterations` is the phase's TOTAL step budget:
+        crash/restart resumes from the latest checkpoint and runs only the
+        remaining steps (not another full `iterations`)."""
         start_step = 0
         latest = self.ckpt.latest_step()
-        if (
-            self.config.training.resume
-            and latest is not None
-            and latest > PRETRAIN_STEP
-        ):
+        if self.config.training.resume and latest is not None:
             print(f"Resuming GAN phase from step {latest}")
             tree = self.ckpt.restore(latest, like=self._state_tree())
             self._load_state_tree(tree, step=latest)
             start_step = latest
+        self._gan_step = start_step
+        remaining = len(loader) - start_step
+        if remaining <= 0:
+            print(
+                f"GAN phase already complete at step {start_step} "
+                f"(training.iterations={len(loader)})"
+            )
+            return
         self.validate(val_sampler, "GAN", step=start_step)
         self._setup_fixed_images(val_sampler, "GAN")
         log_iter = self.config.training.log_iter
         ckpt_iter = self.config.training.checkpoint_iter
         try:
-            self._gan_loop(loader, val_sampler, start_step, log_iter, ckpt_iter)
+            self._gan_loop(
+                loader, val_sampler, start_step, remaining, log_iter, ckpt_iter
+            )
         except KeyboardInterrupt:
             # Graceful interrupt: snapshot the current states so the run can
-            # resume exactly where it stopped (resume-from-latest).
-            step = int(self.g_state.step)
-            print(f"\nInterrupted at step {step}; checkpointing before exit")
-            self.save_checkpoints(step)
-            self.ckpt.wait()
+            # resume exactly where it stopped. `_gan_step` only advances after
+            # both state rebinds commit, so it is always safe to key by; the
+            # states themselves can reference donated buffers if the interrupt
+            # landed inside the dispatched step, hence the guard.
+            step = self._gan_step
+            try:
+                print(f"\nInterrupted at step {step}; checkpointing before exit")
+                self.save_checkpoints(step)
+                self.ckpt.wait()
+            except RuntimeError as e:  # donated/deleted arrays mid-step
+                print(
+                    f"Could not snapshot step {step} ({e}); the latest "
+                    f"periodic checkpoint is step {self.ckpt.latest_step()}"
+                )
             raise
 
-    def _gan_loop(self, loader, val_sampler, start_step, log_iter, ckpt_iter):
+    def _gan_loop(self, loader, val_sampler, start_step, remaining, log_iter, ckpt_iter):
         for step, batch in enumerate(
-            tqdm(loader, desc="GAN Training", total=len(loader)),
+            tqdm(
+                loader.iter_from(start_step),
+                desc="GAN Training",
+                total=remaining,
+            ),
             start=start_step + 1,
         ):
             step_key = jax.random.fold_in(self._rng, step)
@@ -221,6 +247,7 @@ class Trainer:
                 self._put(batch),
                 step_key,
             )
+            self._gan_step = step
             if step % log_iter == 0:
                 self.writer.scalar(
                     "Loss/Discriminator/Real", float(metrics["loss_real"]), step
@@ -238,6 +265,12 @@ class Trainer:
                 self._log_generated("GAN/Generated", step)
                 self.validate(val_sampler, "GAN", step=step)
                 self.save_checkpoints(step)
+        # End-of-phase snapshot: without it, every step after the last
+        # checkpoint_iter multiple would be silently discarded (the
+        # reference shares this flaw — its GAN weights are lost entirely
+        # when iterations < checkpoint_iter).
+        if self._gan_step > 0 and self._gan_step % ckpt_iter != 0:
+            self.save_checkpoints(self._gan_step)
         self.ckpt.wait()
 
     # -- checkpointing -----------------------------------------------------------
@@ -265,4 +298,5 @@ class Trainer:
 
     def close(self) -> None:
         self.ckpt.close()
+        self.pretrain_ckpt.close()
         self.writer.close()

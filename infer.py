@@ -42,15 +42,9 @@ DEFAULT_CHECKPOINTS = (
 def load_generator_params(path: str):
     """Load generator params from .npz (native) or .pt (reference format)."""
     if path.endswith(".npz"):
-        flat = dict(np.load(path))
-        params: dict = {}
-        for key, value in flat.items():
-            node = params
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = value
-        return {"params": params} if "params" not in params else params
+        from fast_srgan_tpu.checkpoints.npz_io import load_npz_params
+
+        return load_npz_params(path)
     return load_reference_generator_params(path)
 
 

@@ -15,36 +15,14 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from fast_srgan_tpu.checkpoints.npz_io import load_npz_params, save_npz_params  # noqa: E402
 from fast_srgan_tpu.checkpoints.torch_compat import (  # noqa: E402
     generator_params_to_torch_state_dict,
     load_reference_generator_params,
 )
-
-
-def flatten(tree: dict, prefix: str = "") -> dict:
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
-
-
-def unflatten(flat: dict) -> dict:
-    tree: dict = {}
-    for key, value in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = value
-    return tree
 
 
 def main() -> None:
@@ -54,14 +32,12 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.src.endswith(".pt") and args.dst.endswith(".npz"):
-        params = load_reference_generator_params(args.src)
-        np.savez(args.dst, **flatten(params["params"], "params"))
+        save_npz_params(args.dst, load_reference_generator_params(args.src))
         print(f"Wrote native checkpoint: {args.dst}")
     elif args.src.endswith(".npz") and args.dst.endswith(".pt"):
         import torch
 
-        params = unflatten(dict(np.load(args.src)))
-        sd = generator_params_to_torch_state_dict(params)
+        sd = generator_params_to_torch_state_dict(load_npz_params(args.src))
         torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, args.dst)
         print(f"Wrote reference-format checkpoint: {args.dst}")
     else:

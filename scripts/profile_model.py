@@ -52,9 +52,15 @@ def main() -> None:
         from fast_srgan_tpu.config import default_config
         from fast_srgan_tpu.train.steps import build_bundle
 
+        # --shape is the HR crop batch for the GAN step: BxHxW with H == W
+        # (training crops are square; reference dataloader.py:27-31).
+        if h != w or h % 4 != 0:
+            raise SystemExit(
+                f"--step gan needs square HR crops divisible by 4, got {h}x{w}"
+            )
         config = default_config(
             training={"bf16": not args.fp32},
-            data={"lr_image_size": 24, "scale_factor": 4},
+            data={"lr_image_size": h // 4, "scale_factor": 4},
         )
         bundle, g_state, d_state, vgg_params = build_bundle(config)
 
@@ -63,7 +69,7 @@ def main() -> None:
 
         example = (
             g_state, d_state, vgg_params,
-            jnp.zeros((b, 96, 96, 3), jnp.uint8), jax.random.key(0),
+            jnp.zeros((b, h, w, 3), jnp.uint8), jax.random.key(0),
         )
 
     lowered = jax.jit(fn).lower(*example)

@@ -94,9 +94,37 @@ class TestGanPhase:
         ):
             assert tag in log, tag
 
-        # Restart: pretrain skipped, GAN resumes from the step-2 checkpoint.
+        # Restart: pretrain skipped; the GAN budget (iterations=2) is already
+        # met by the step-2 checkpoint, so the phase completes immediately
+        # (training.iterations is a TOTAL budget, not per-restart).
         trainer2 = Trainer(config)
         trainer2.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
         trainer2.train(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
-        assert int(trainer2.g_state.step) == 4  # resumed at 2, ran 2 more
+        assert int(trainer2.g_state.step) == 2  # restored, no extra steps
         trainer2.close()
+
+    def test_partial_budget_resume(self, npy_dir, tmp_path, monkeypatch):
+        # Crash-sim: first run covers 2 of 4 iterations; the restart runs
+        # exactly the remaining 2 (not another full 4).
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="p")
+        config.training.iterations = 4
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+        t1 = Trainer(config)
+        t1.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        # Simulate a crash after 2 of the 4 budgeted iterations by handing
+        # train() a loader that ends early (the end-of-phase snapshot plays
+        # the role of the last periodic checkpoint before the crash).
+        t1.train(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        assert t1.ckpt.latest_step() == 2
+        t1.close()
+
+        t2 = Trainer(config)
+        t2.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        full = PrefetchLoader(sampler, 2, 4, workers=1)
+        t2.train(full, sampler)
+        assert int(t2.g_state.step) == 4
+        assert t2.ckpt.latest_step() == 4  # end-of-phase snapshot
+        t2.close()
