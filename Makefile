@@ -15,6 +15,7 @@ bench:
 
 # Tiny end-to-end training smoke on the virtual 8-device CPU mesh.
 smoke:
+	python scripts/make_dataset.py /tmp/sr_train --n 8 --size 160
 	PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu \
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	python train.py data.image_dir=/tmp/sr_train data.numpy_dir=/tmp/sr_np \

@@ -26,6 +26,7 @@ loop (its throughput limiter — SURVEY.md §3.3):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Iterable, Iterator, List, Sequence, Tuple
 
 import jax
@@ -49,6 +50,10 @@ class SRInferenceEngine:
       bucket: pad inputs up to multiples of `bucket` (LR pixels) and crop
         the output, bounding the number of compiled shapes. 0 = exact shapes.
       use_pallas: enable the Pallas fused stem kernels.
+      mesh: optional 1-D `jax.sharding.Mesh` — batches are sharded across it
+        (data-parallel serving: N chips upscale N slices of every batch;
+        batch sizes must divide the mesh). Orthogonal to the spatial tiling
+        path in parallel/spatial.py, which shards a single huge frame.
     """
 
     SCALE = 4
@@ -61,15 +66,30 @@ class SRInferenceEngine:
         dtype: Any = jnp.bfloat16,
         bucket: int = 0,
         use_pallas: bool = False,
+        mesh=None,
     ):
         self.model = Generator(
             n_filters=n_filters, n_layers=n_layers, dtype=dtype,
             use_pallas=use_pallas,
         )
-        self.params = jax.device_put(params)
         self.bucket = bucket
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        @jax.jit
+            self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, repl)
+            jit_kwargs = dict(
+                in_shardings=(repl, self._batch_sharding),
+                out_shardings=self._batch_sharding,
+            )
+        else:
+            self._batch_sharding = None
+            self.params = jax.device_put(params)
+            jit_kwargs = {}
+
+        @functools.partial(jax.jit, **jit_kwargs)
         def _forward_u8(p, x_u8: jnp.ndarray) -> jnp.ndarray:
             # uint8 NHWC -> [-1,1] float on device (reference inference.py:50)
             x = x_u8.astype(jnp.float32) / 127.5 - 1.0
@@ -79,11 +99,16 @@ class SRInferenceEngine:
 
         self._forward_u8 = _forward_u8
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kwargs)
         def _forward_f32(p, x: jnp.ndarray) -> jnp.ndarray:
             return self.model.apply(p, x)
 
         self._forward_f32 = _forward_f32
+
+    def _put_batch(self, batch_u8) -> jnp.ndarray:
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(batch_u8), self._batch_sharding)
+        return jnp.asarray(batch_u8)
 
     # -- core ---------------------------------------------------------------
 
@@ -97,7 +122,7 @@ class SRInferenceEngine:
                     batch_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
                     mode="edge",
                 )
-        out = self._forward_u8(self.params, jnp.asarray(batch_u8))
+        out = self._forward_u8(self.params, self._put_batch(batch_u8))
         out = np.asarray(out)
         return out[:, : h * self.SCALE, : w * self.SCALE, :]
 
@@ -173,7 +198,7 @@ class SRInferenceEngine:
         def flush():
             batch = np.stack(buf)
             buf.clear()
-            out = self._forward_u8(self.params, jnp.asarray(batch))
+            out = self._forward_u8(self.params, self._put_batch(batch))
             pending.append((batch.shape[0], out))
 
         for frame in frames:

@@ -58,6 +58,27 @@ class TestUpscaleImages:
             np.testing.assert_array_equal(out, single)
 
 
+class TestDataParallelEngine:
+    def test_mesh_sharded_matches_single_device(self, rng):
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+
+        model = Generator(n_filters=8, n_layers=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        single = SRInferenceEngine(
+            params, n_filters=8, n_layers=2, dtype=jnp.float32
+        )
+        sharded = SRInferenceEngine(
+            params, n_filters=8, n_layers=2, dtype=jnp.float32,
+            mesh=make_mesh(8),
+        )
+        batch = rng.integers(0, 256, (8, 12, 16, 3), dtype=np.uint8)
+        a = single.upscale_batch(batch)
+        b = sharded.upscale_batch(batch)
+        # instance-norm stats are per-sample, so DP sharding is exact up to
+        # reduction order; uint8 rounding can differ by 1 count
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
 class TestStream:
     def test_stream_yields_all_frames_in_order(self, rng):
         engine = make_engine(rng)
