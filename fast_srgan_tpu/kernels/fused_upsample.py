@@ -33,16 +33,16 @@ Constraints (trace-time dispatch, lax fallback otherwise): r=2, C_in = 64,
 4C a multiple of 256, W a multiple of 2*sublane-tile. Forward-only
 (inference path); training keeps the XLA composition.
 
-MEASURED STATUS (v5e, 16x180x320 bf16 generator): numerically exact per
-stage (1.4e-6 fp32, interior-max — no edge artifacts) and achieves the
-theoretical minimum HBM traffic, but END-TO-END SLOWER than XLA
-(88.7 ms vs 71.7 ms): the row-granular fori_loop issues small
-[U,128]@[128,512] matmuls with rolls/masks between them, and XLA's conv
-emitters schedule the MXU better than this one-row pipeline. Closing that
-gap needs multi-row blocking and tighter Mosaic scheduling — the layout
-algebra here (packed parity weights, shuffled-order output writes) is the
-foundation for that follow-up. Not wired into the production model;
-`kernels.use_pallas` paths remain opt-in.
+MEASURED STATUS (v5e, 16x180x320 bf16 generator, XLA baseline 71.7 ms):
+  v1 (row-granular pipeline below):            88.7 ms
+  v2 (multi-row blocking, R=4..12 plateau):    78.6 ms
+Both numerically exact per stage (1.4e-6 fp32, interior-max — no edge
+artifacts) with the theoretical-minimum HBM traffic; the residual ~10% gap
+vs XLA is VPU overhead around the matmuls (f32 roll round-trips for the
+horizontal taps, wrap masks, lane concats) that XLA's conv emitter doesn't
+pay. Honest conclusion: XLA's v5e conv pipeline is within ~10% of a
+hand-written traffic-optimal kernel and fuses better across op boundaries —
+these kernels stay as the tested custom-kernel tier, not the default path.
 """
 
 from __future__ import annotations
@@ -220,6 +220,153 @@ def _fused_pallas(x, wt, bias2, alpha):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(x_packed, wt, bias2, alpha.reshape(1, 1).astype(jnp.float32))
     return out.reshape(b, 2 * h, 2 * w, c)  # metadata-only
+
+
+# ---------------------------------------------------------------------------
+# v2: multi-row blocking — R rows per MXU call
+# ---------------------------------------------------------------------------
+# v1's weakness is row-granular matmuls ([U,128]@[128,512] with rolls between
+# them). v2 flattens R rows into one [R*U, 128] operand: the input is padded
+# with one zero row top and bottom (one cheap XLA pad that also realizes the
+# conv's vertical zero padding), so every block reads an interior (R+2)-row
+# halo window and the dy taps are aligned sublane slices of it. The r taps
+# are rolls of the flattened block with a per-row wrap mask (the wrapped
+# element at each row seam is exactly the conv's horizontal zero padding).
+# 9 big matmuls per block, R-fold fewer loop iterations than v1.
+
+_BLOCK_ROWS = 4
+_V2_LAG = 2
+
+
+def _make_kernel_v2(H: int, U: int, c4: int, R: int):
+    """H = unpadded row count (output rows = 2H); input ref has H+2 rows."""
+    c8 = 2 * c4
+    n_blocks = H // R  # caller guarantees divisibility
+
+    def kernel(x_hbm, w_ref, b_ref, alpha_ref, o_hbm, win, obuf,
+               sem_in, sem_out):
+        batch = pl.program_id(0)
+
+        def load(blk, slot):
+            # Padded rows [blk*R, blk*R + R + 2): always in bounds.
+            return pltpu.make_async_copy(
+                x_hbm.at[batch, pl.ds(blk * R, R + 2), :, :],
+                win.at[slot],
+                sem_in.at[slot],
+            )
+
+        def store(blk, i, k, slot):
+            h = blk * R + k
+            return pltpu.make_async_copy(
+                obuf.at[slot, i, pl.ds(k * U, U), :],
+                o_hbm.at[batch, 2 * h + i, :, :],
+                sem_out.at[slot, i],
+            )
+
+        load(0, 0).start()
+
+        def body(blk, _):
+            slot = blk % 2
+
+            @pl.when(blk + 1 < n_blocks)
+            def _():
+                load(blk + 1, (blk + 1) % 2).start()
+
+            load(blk, slot).wait()
+
+            @pl.when(blk >= _V2_LAG)
+            def _():
+                for i in (0, 1):
+                    for k in range(R):
+                        store(
+                            blk - _V2_LAG, i, k, (blk - _V2_LAG) % _V2_LAG
+                        ).wait()
+
+            flat = win[slot].reshape((R + 2) * U, win.shape[-1])
+            acc = jnp.zeros((R * U, c8), jnp.float32)
+            for dy in (-1, 0, 1):
+                # dy tap = window rows (dy+1) .. (dy+1)+R: an aligned slice.
+                lo = (dy + 1) * U
+                seg = flat[lo : lo + R * U, :]
+                for r in (-1, 0, 1):
+                    if r == 0:
+                        shifted = seg
+                    else:
+                        # Mosaic rotate needs 32-bit data; sublane roll is
+                        # lane-agnostic so round-trip through f32.
+                        seg32 = seg.astype(jnp.float32)
+                        rolled = pltpu.roll(seg32, (-r) % (R * U), axis=0)
+                        u_ids = lax.broadcasted_iota(
+                            jnp.int32, rolled.shape, 0
+                        ) % U
+                        mask = u_ids < (U - r) if r > 0 else u_ids >= (-r)
+                        rolled = jnp.where(mask, rolled, 0.0)
+                        shifted = rolled.astype(seg.dtype)
+                    acc = acc + jnp.dot(
+                        shifted, w_ref[dy + 1, r + 1],
+                        preferred_element_type=jnp.float32,
+                    )
+
+            y = acc + b_ref[0]
+            a = alpha_ref[0, 0]
+            y = jnp.where(y >= 0.0, y, a * y)
+            y16 = y.astype(obuf.dtype)
+            oslot = blk % _V2_LAG
+            half = c4 // 2
+            for i in (0, 1):
+                obuf[oslot, i] = jnp.concatenate(
+                    [
+                        y16[:, i * half : (i + 1) * half],
+                        y16[:, c4 + i * half : c4 + (i + 1) * half],
+                    ],
+                    axis=1,
+                )
+                for k in range(R):
+                    store(blk, i, k, oslot).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+        for tail in range(min(_V2_LAG, n_blocks)):
+            blk = n_blocks - 1 - tail
+
+            @pl.when(blk >= 0)
+            def _():
+                for i in (0, 1):
+                    for k in range(R):
+                        store(blk, i, k, blk % _V2_LAG).wait()
+
+    return kernel
+
+
+def _fused_pallas_v2(x, wt, bias2, alpha, R=_BLOCK_ROWS):
+    b, h, w, c_in = x.shape
+    u = w // 2
+    c8 = wt.shape[-1]
+    c4 = c8 // 2
+    c = c4 // 4
+    x_packed = x.reshape(b, h, u, 2 * c_in)
+    # One zero row top and bottom = the conv's vertical padding, realized.
+    x_padded = jnp.pad(x_packed, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        _make_kernel_v2(h, u, c4, R),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h, u, c4), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, R + 2, u, 2 * c_in), x.dtype),
+            pltpu.VMEM((_V2_LAG, 2, R * u, c4), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_V2_LAG, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x_padded, wt, bias2, alpha.reshape(1, 1).astype(jnp.float32))
+    return out.reshape(b, 2 * h, 2 * w, c)
 
 
 def fused_upsample(x, kernel, bias, alpha):
