@@ -102,7 +102,11 @@ DEFAULTS: dict = {
         "multihost": False,
     },
     "kernels": {
-        "use_pallas": False,  # Pallas fused kernels on the generator hot path
+        "use_pallas": False,  # fused IN+PReLU Pallas kernels in the stem
+        # fully-fused conv+shuffle+PReLU upsample stages (experimental tier;
+        # exact but measured ~10% behind XLA's fusion — see
+        # kernels/fused_upsample.py)
+        "fused_upsample": False,
     },
     "inference": {
         "tile": 0,  # >0: spatially tile huge frames across the mesh

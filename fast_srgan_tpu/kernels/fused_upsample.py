@@ -37,7 +37,13 @@ MEASURED STATUS (v5e, 16x180x320 bf16 generator, XLA baseline 71.7 ms):
   v1 (row-granular pipeline below):            88.7 ms
   v2 (multi-row blocking, R=4..12 plateau):    78.6 ms
 Both numerically exact per stage (1.4e-6 fp32, interior-max — no edge
-artifacts) with the theoretical-minimum HBM traffic; the residual ~10% gap
+artifacts) with the theoretical-minimum HBM traffic. (When *chained*, fp32
+comparisons show ~2e-3 absolute deviation on ~±40-magnitude activations:
+this environment compiles with --xla_allow_excess_precision, so TPU "fp32"
+convs are bf16-decomposed and micro-perturbations cross different rounding
+paths — verified NOT a kernel defect via host-roundtrip + linearity-bound
+analysis; both paths carry the same-order noise vs true fp32, and it is
+invisible at bf16/uint8 production precision.) The residual ~10% gap
 vs XLA is VPU overhead around the matmuls (f32 roll round-trips for the
 horizontal taps, wrap masks, lane concats) that XLA's conv emitter doesn't
 pay. Honest conclusion: XLA's v5e conv pipeline is within ~10% of a
@@ -369,10 +375,33 @@ def _fused_pallas_v2(x, wt, bias2, alpha, R=_BLOCK_ROWS):
     return out.reshape(b, 2 * h, 2 * w, c)
 
 
+def _pack_weights_traced(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Traced (jit-safe) version of build_packed_weights — usable on flax
+    param tracers; constant-folds when the kernel is concrete."""
+    c_in = kernel.shape[2]
+    c4 = kernel.shape[3]
+    perm = jnp.asarray(phase_major_permutation(c4))
+    kp = kernel[..., perm]
+    out = jnp.zeros((3, 3, 2 * c_in, 2 * c4), kernel.dtype)
+    for r in (-1, 0, 1):
+        for q in (0, 1):
+            for s in (0, 1):
+                dx = 2 * r + q - s
+                if -1 <= dx <= 1:
+                    out = out.at[
+                        :, r + 1, q * c_in : (q + 1) * c_in,
+                        s * c4 : (s + 1) * c4,
+                    ].set(kp[:, dx + 1])
+    return out
+
+
+@jax.custom_vjp
 def fused_upsample(x, kernel, bias, alpha):
     """Drop-in for the upsample stage. kernel [3,3,Cin,4C] (torch channel
     order), bias [4C], alpha (1,). Dispatches to the fused Mosaic kernel on
-    TPU, lax composition elsewhere."""
+    TPU (v2 blocked when H divides a block size, v1 otherwise), lax
+    composition elsewhere. Trainable: the backward pass differentiates the
+    lax composition."""
     c4 = kernel.shape[-1]
     c_in = kernel.shape[2]
     # Packed width U = W/2 must align to the VMEM sublane tile for the
@@ -387,8 +416,24 @@ def fused_upsample(x, kernel, bias, alpha):
         or x.shape[1] < 2
     ):
         return _reference_impl(x, kernel, bias, alpha)
-    wt = jnp.asarray(build_packed_weights(np.asarray(kernel))).astype(x.dtype)
-    perm = phase_major_permutation(c4)
-    bias_pm = jnp.asarray(np.asarray(bias)[perm], jnp.float32)
+    wt = _pack_weights_traced(kernel).astype(x.dtype)
+    perm = jnp.asarray(phase_major_permutation(c4))
+    bias_pm = bias[perm].astype(jnp.float32)
     bias2 = jnp.concatenate([bias_pm, bias_pm]).reshape(1, 2 * c4)
+    alpha = jnp.asarray(alpha)
+    for r_blk in (8, 4, 2):
+        if x.shape[1] % r_blk == 0:
+            return _fused_pallas_v2(x, wt, bias2, alpha, R=r_blk)
     return _fused_pallas(x, wt, bias2, alpha)
+
+
+def _fused_fwd(x, kernel, bias, alpha):
+    return fused_upsample(x, kernel, bias, alpha), (x, kernel, bias, alpha)
+
+
+def _fused_bwd(residuals, g):
+    _, vjp = jax.vjp(_reference_impl, *residuals)
+    return vjp(g)
+
+
+fused_upsample.defvjp(_fused_fwd, _fused_bwd)

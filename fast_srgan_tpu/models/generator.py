@@ -43,6 +43,25 @@ class PReLUAlpha(nn.Module):
         return self.param("alpha", lambda _: jnp.full((1,), 0.25, jnp.float32))
 
 
+class Conv3x3Params(nn.Module):
+    """Owns a 3x3 conv's kernel/bias params (flax nn.Conv-compatible paths
+    and initializers) for fused kernels that bypass nn.Conv's forward."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class PReLU(nn.Module):
     """PReLU with a single shared slope, init 0.25 (torch nn.PReLU default)."""
 
@@ -88,13 +107,30 @@ class ResidualBlock(nn.Module):
 
 
 class UpSamplingBlock(nn.Module):
-    """Conv F->4F (k3) -> PixelShuffle(2) -> PReLU — one 2x stage."""
+    """Conv F->4F (k3) -> PixelShuffle(2) -> PReLU — one 2x stage.
+
+    With ``fused=True`` the whole stage runs as one Mosaic kernel
+    (kernels/fused_upsample.py — experimental tier: exact, trainable via a
+    lax-composition VJP, currently ~10% behind XLA's fusion; see the kernel
+    docstring for measured numbers). Param tree is identical either way.
+    """
 
     n_filters: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused:
+            from fast_srgan_tpu.kernels.fused_upsample import fused_upsample
+
+            # Own the same param paths as the unfused variant (conv/kernel,
+            # conv/bias, relu/alpha) so checkpoints are interchangeable.
+            kernel, bias = Conv3x3Params(
+                self.n_filters * 4, x.shape[-1], name="conv"
+            )()
+            alpha = PReLUAlpha(name="relu")()
+            return fused_upsample(x, kernel, bias, alpha)
         x = nn.Conv(
             self.n_filters * 4, (3, 3), padding=PAD1, dtype=self.dtype,
             name="conv",
@@ -110,6 +146,9 @@ class Generator(nn.Module):
     n_layers: int = 8
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Run each upsample stage as the fully-fused Mosaic kernel (experimental
+    # tier; see kernels/fused_upsample.py for measured status).
+    fused_upsample: bool = False
     # Rematerialize residual blocks in the backward pass: activations of the
     # stem are recomputed instead of stored, trading ~2x stem FLOPs for
     # O(n_layers) less HBM — the standard lever for scaled configs (more
@@ -142,7 +181,8 @@ class Generator(nn.Module):
 
         for i in range(2):  # fixed 4x: two 2x stages (reference model.py:97-100)
             y = UpSamplingBlock(
-                self.n_filters, dtype=self.dtype, name=f"upsampling_{i}"
+                self.n_filters, dtype=self.dtype,
+                fused=self.fused_upsample, name=f"upsampling_{i}",
             )(y)
 
         y = nn.Conv(

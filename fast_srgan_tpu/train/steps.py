@@ -97,6 +97,7 @@ def build_bundle(
         n_layers=config.generator.n_layers,
         dtype=dtype,
         use_pallas=config.kernels.use_pallas,
+        fused_upsample=config.kernels.get("fused_upsample", False),
         remat=config.training.get("remat", False),
     )
     discriminator = Discriminator(

@@ -63,3 +63,19 @@ class TestFusedUpsample:
         out = fused_upsample(x, K, bias, alpha)
         ref = _reference_impl(x, K, bias, alpha)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestGeneratorFusedFlag:
+    def test_param_tree_interchangeable_and_grad_flows(self, rng):
+        import jax
+        from fast_srgan_tpu.models import Generator
+
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 12, 12, 3)).astype(np.float32))
+        plain = Generator(n_filters=8, n_layers=2)
+        fused = Generator(n_filters=8, n_layers=2, fused_upsample=True)
+        params = plain.init(jax.random.key(0), x)
+        a = plain.apply(params, x)
+        b = fused.apply(params, x)  # CPU -> lax fallback, must be identical
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        g = jax.grad(lambda p: float(0) + jnp.sum(jnp.square(fused.apply(p, x))))(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
