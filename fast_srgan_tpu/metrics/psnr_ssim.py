@@ -82,9 +82,16 @@ def ssim_per_image(
     mu_yy = _filter2d_valid(y * y, kernel)
     mu_xy = _filter2d_valid(x * y, kernel)
 
-    sigma_x = mu_xx - mu_x * mu_x
-    sigma_y = mu_yy - mu_y * mu_y
+    # E[x^2] - E[x]^2 cancels catastrophically in fp32 once sr ~= hr (a
+    # well-trained model!): variances go slightly negative and SSIM leaves
+    # [-1, 1] (observed: per-dataset means of 1.01 and -0.07). Clamp the
+    # variances at 0 and cap the covariance by Cauchy-Schwarz, which
+    # restores the mathematical SSIM <= 1 guarantee.
+    sigma_x = jnp.maximum(mu_xx - mu_x * mu_x, 0.0)
+    sigma_y = jnp.maximum(mu_yy - mu_y * mu_y, 0.0)
     sigma_xy = mu_xy - mu_x * mu_y
+    cs_bound = jnp.sqrt(sigma_x * sigma_y)
+    sigma_xy = jnp.clip(sigma_xy, -cs_bound, cs_bound)
 
     num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)

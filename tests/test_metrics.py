@@ -51,6 +51,16 @@ class TestSSIM:
         s = float(ssim_per_image(jnp.asarray(a), jnp.asarray(a))[0])
         assert abs(s - 1.0) < 1e-6
 
+    def test_near_identical_low_variance_stays_in_range(self, rng):
+        # The fp32 cancellation regime that produced SSIM=1.011 and -0.07 in
+        # a real training run: smooth images, sr within ~1e-3 of hr.
+        yy, xx = np.mgrid[0:32, 0:32]
+        hr = (0.4 + 0.2 * (yy + xx) / 64).astype(np.float32)
+        hr = np.stack([hr] * 3, -1)[None]
+        sr = (hr + rng.normal(0, 1e-3, hr.shape)).astype(np.float32)
+        s = float(ssim_per_image(jnp.asarray(sr), jnp.asarray(hr))[0])
+        assert 0.9 <= s <= 1.0, s
+
     def test_uncorrelated_far_from_one(self, rng):
         a = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
         b = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
