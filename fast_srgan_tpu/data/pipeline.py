@@ -179,6 +179,11 @@ class PrefetchLoader:
         self.num_batches = num_batches
         self.prefetch = max(1, prefetch)
         self.workers = max(1, workers)
+        # Drawn at construction (not per-iteration): loader construction
+        # order is deterministic from the config seed, so a restarted
+        # process derives the same per-batch plans — iteration-time draws
+        # would differ once an earlier phase is skipped on resume.
+        self._base_seed = int(sampler.rng.integers(0, 2**63 - 1))
 
     def __len__(self) -> int:
         return self.num_batches
@@ -190,22 +195,39 @@ class PrefetchLoader:
         """Yield batches start..num_batches-1. Per-batch RNGs derive from
         (base seed, batch index), so a resumed run consumes exactly the batch
         plans the uninterrupted run would have — deterministic regardless of
-        thread interleaving, O(1) memory at any iteration count."""
+        thread interleaving, with bounded memory (worker lead is capped by a
+        ticket semaphore, so the reorder buffer can't grow past
+        prefetch + workers batches)."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        base_seed = int(self.sampler.rng.integers(0, 2**63 - 1))
+        base_seed = self._base_seed
         done = threading.Event()
+        # Tickets bound how far any producer may run ahead of the consumer.
+        tickets = threading.Semaphore(self.prefetch + self.workers)
         _ERR = object()
+
+        def _put(item) -> None:
+            # put with teardown polling: a blocked producer must notice
+            # `done` even when no consumer will ever drain the queue again.
+            while not done.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def produce(worker_id: int) -> None:
             for b in range(start + worker_id, self.num_batches, self.workers):
+                while not tickets.acquire(timeout=0.1):
+                    if done.is_set():
+                        return
                 if done.is_set():
                     return
                 try:
                     rng = np.random.default_rng((base_seed, b))
                     idxs = rng.integers(0, len(self.sampler), self.batch_size)
-                    q.put((b, self.sampler.crop_batch(idxs, rng)))
+                    _put((b, self.sampler.crop_batch(idxs, rng)))
                 except Exception as e:  # surface to the consumer, don't hang
-                    q.put((_ERR, e))
+                    _put((_ERR, e))
                     return
 
         threads = [
@@ -227,11 +249,15 @@ class PrefetchLoader:
                     received[b] = batch
                 yield received.pop(next_idx)
                 next_idx += 1
+                tickets.release()
         finally:
             done.set()
-            # Drain so producers blocked on put() can exit.
+            # Unblock any producer waiting in put(); they poll `done`.
             while not q.empty():
-                q.get_nowait()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def list_numpy_files(numpy_dir: str) -> List[str]:

@@ -196,10 +196,17 @@ class SRInferenceEngine:
         buf: List[np.ndarray] = []
 
         def flush():
+            valid = len(buf)
             batch = np.stack(buf)
             buf.clear()
+            if valid < batch_size:
+                # Pad the trailing partial batch to the compiled batch size:
+                # a fresh (valid, H, W, 3) signature would trigger a full
+                # 20-240s generator recompile at the end of every stream.
+                pad = batch_size - valid
+                batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
             out = self._forward_u8(self.params, self._put_batch(batch))
-            pending.append((batch.shape[0], out))
+            pending.append((valid, out))
 
         for frame in frames:
             buf.append(frame)

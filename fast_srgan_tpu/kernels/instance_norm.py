@@ -149,7 +149,9 @@ def _make_chunked_kernel(rows: int, chunk: int, c: int, hw: int):
             shift *= 2
 
         mean = s / hw
-        var = q / hw - mean * mean
+        # E[x^2]-E[x]^2 cancels in fp32 for near-constant channels; without
+        # the clamp, var can go slightly negative and rsqrt returns NaN.
+        var = jnp.maximum(q / hw - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + _EPS)
         a = alpha_ref[0, 0]
 

@@ -145,7 +145,9 @@ def _dist_instance_norm(axis_name: str, eps: float = 1e-5):
         ss = lax.psum(jnp.sum(x32 * x32, axis=(1, 2), keepdims=True), axis_name)
         count = local_n * lax.axis_size(axis_name)
         mean = s / count
-        var = ss / count - mean * mean  # biased (torch InstanceNorm)
+        # biased variance (torch InstanceNorm); clamped because the
+        # E[x^2]-E[x]^2 form can cancel below zero in fp32 -> rsqrt NaN
+        var = jnp.maximum(ss / count - mean * mean, 0.0)
         y = (x32 - mean) * lax.rsqrt(var + eps)
         return y.astype(x.dtype)
 

@@ -63,6 +63,7 @@ class Trainer:
         self.pretrain_ckpt = CheckpointIO(ckpt_dir + "_pretrain", max_to_keep=1)
         self.fixed_lr01: Optional[np.ndarray] = None
         self.fixed_hr01: Optional[np.ndarray] = None
+        self._panel_phases: set = set()
         self._rng = jax.random.key(config.experiment.seed)
         self._gan_step = 0  # GAN loop step (checkpoint/metric key)
 
@@ -123,32 +124,35 @@ class Trainer:
         return {"psnr": psnr, "ssim": ssim}
 
     def _setup_fixed_images(self, val_sampler: CropSampler, phase: str) -> None:
-        """Grab the first val batch for visualization panels and log the
-        HighRes + 4x-antialiased-Bicubic references once at step 0
-        (reference trainer.py:71-87)."""
-        if self.fixed_lr01 is not None:
-            return
-        batch = next(
-            val_sampler.sequential_batches(
-                self.config.training.batch_size,
-                seed=self.config.experiment.seed,
-                drop_last=False,
+        """Grab the first val batch for visualization panels (cached) and log
+        the HighRes + 4x-antialiased-Bicubic references once *per phase*
+        (the reference only logs them for whichever phase ran `_pre_train_
+        setup` first — trainer.py:71-87,160-162 — leaving GAN panels without
+        their comparison references in a normal two-phase run)."""
+        if self.fixed_lr01 is None:
+            batch = next(
+                val_sampler.sequential_batches(
+                    self.config.training.batch_size,
+                    seed=self.config.experiment.seed,
+                    drop_last=False,
+                )
             )
-        )
-        lr_img, hr_img = prepare_batch(
-            jnp.asarray(batch), self.config.data.lr_image_size
-        )
-        self.fixed_lr01 = np.asarray((lr_img + 1.0) / 2.0)
-        self.fixed_hr01 = np.asarray((hr_img + 1.0) / 2.0)
-        scale = self.config.data.scale_factor
-        bicubic = resize_bicubic_nhwc(
-            jnp.asarray(self.fixed_lr01),
-            self.fixed_lr01.shape[1] * scale,
-            self.fixed_lr01.shape[2] * scale,
-            antialias=True,
-        )
-        self.writer.images(f"{phase}/HighRes", self.fixed_hr01, 0)
-        self.writer.images(f"{phase}/Bicubic", np.asarray(bicubic), 0)
+            lr_img, hr_img = prepare_batch(
+                jnp.asarray(batch), self.config.data.lr_image_size
+            )
+            self.fixed_lr01 = np.asarray((lr_img + 1.0) / 2.0)
+            self.fixed_hr01 = np.asarray((hr_img + 1.0) / 2.0)
+        if phase not in self._panel_phases:
+            self._panel_phases.add(phase)
+            scale = self.config.data.scale_factor
+            bicubic = resize_bicubic_nhwc(
+                jnp.asarray(self.fixed_lr01),
+                self.fixed_lr01.shape[1] * scale,
+                self.fixed_lr01.shape[2] * scale,
+                antialias=True,
+            )
+            self.writer.images(f"{phase}/HighRes", self.fixed_hr01, 0)
+            self.writer.images(f"{phase}/Bicubic", np.asarray(bicubic), 0)
 
     def _log_generated(self, tag: str, step: int) -> None:
         panel = self.bundle.render_step(
@@ -223,7 +227,10 @@ class Trainer:
                 print(f"\nInterrupted at step {step}; checkpointing before exit")
                 self.save_checkpoints(step)
                 self.ckpt.wait()
-            except RuntimeError as e:  # donated/deleted arrays mid-step
+            except (RuntimeError, ValueError) as e:
+                # RuntimeError: donated/deleted arrays mid-step;
+                # ValueError: orbax StepAlreadyExistsError when the interrupt
+                # lands right after a periodic save of the same step.
                 print(
                     f"Could not snapshot step {step} ({e}); the latest "
                     f"periodic checkpoint is step {self.ckpt.latest_step()}"

@@ -22,31 +22,59 @@ import numpy as np
 from fast_srgan_tpu.inference import SRInferenceEngine
 
 
-def _decode_frames(path: str, frame_queue: queue.Queue, limit: Optional[int]) -> None:
+def _decode_frames(
+    path: str, frame_queue: queue.Queue, limit: Optional[int],
+    stop: threading.Event,
+) -> None:
     import cv2
 
     cap = cv2.VideoCapture(path)
-    n = 0
-    while cap.isOpened():
-        ok, frame_bgr = cap.read()
-        if not ok or (limit is not None and n >= limit):
-            break
-        frame_queue.put(frame_bgr[:, :, ::-1])  # BGR -> RGB
-        n += 1
-    cap.release()
-    frame_queue.put(None)
+    try:
+        n = 0
+        while cap.isOpened() and not stop.is_set():
+            if limit is not None and n >= limit:
+                break
+            ok, frame_bgr = cap.read()
+            if not ok:
+                break
+            item = frame_bgr[:, :, ::-1]  # BGR -> RGB
+            # put with teardown polling: if the consumer abandoned the
+            # generator, the thread must not block forever holding the
+            # decoder handle and ~64 buffered frames.
+            while not stop.is_set():
+                try:
+                    frame_queue.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            n += 1
+    finally:
+        cap.release()
+        while True:
+            try:
+                frame_queue.put(None, timeout=0.1)
+                break
+            except queue.Full:
+                if stop.is_set():
+                    break
 
 
 def iter_video_frames(path: str, limit: Optional[int] = None) -> Iterator[np.ndarray]:
     """Decode RGB uint8 frames on a background thread (bounded queue)."""
     q: queue.Queue = queue.Queue(maxsize=64)
-    t = threading.Thread(target=_decode_frames, args=(path, q, limit), daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(
+        target=_decode_frames, args=(path, q, limit, stop), daemon=True
+    )
     t.start()
-    while True:
-        frame = q.get()
-        if frame is None:
-            break
-        yield frame
+    try:
+        while True:
+            frame = q.get()
+            if frame is None:
+                break
+            yield frame
+    finally:
+        stop.set()  # runs on GeneratorExit too (abandoned consumer)
 
 
 def upscale_video(

@@ -58,12 +58,15 @@ def main() -> None:
 
     import jax
 
+    # params passed as a jit argument (not closed over): closure constants
+    # get baked into every compiled program, duplicating the weights per
+    # distinct image resolution in the compile cache.
     @jax.jit
-    def evaluate(hr_u8):
+    def evaluate(p, hr_u8):
         hr = hr_u8.astype(jnp.float32)
         h, w = hr.shape[1], hr.shape[2]
         lr = resize_bicubic_nhwc(hr, h // 4, w // 4) / 127.5 - 1.0
-        sr01 = (model.apply(params, lr) + 1.0) / 2.0
+        sr01 = (model.apply(p, lr) + 1.0) / 2.0
         sr01 = jnp.clip(sr01, 0.0, 1.0)
         hr01 = hr / 255.0
         diff = sr01 - hr01
@@ -77,12 +80,14 @@ def main() -> None:
         img = load_image_u8(os.path.join(args.image_dir, name))
         h, w = img.shape[:2]
         if args.crop:
-            ch = cw = min(args.crop, (min(h, w) // 4) * 4)
+            # floor the requested crop to a multiple of 4 so LR synthesis
+            # and the 4x output tile exactly
+            ch = cw = (min(args.crop, min(h, w)) // 4) * 4
         else:
             ch, cw = (h // 4) * 4, (w // 4) * 4
         top, left = (h - ch) // 2, (w - cw) // 2
         crop = img[top : top + ch, left : left + cw]
-        sse, ssim = evaluate(jnp.asarray(crop[None]))
+        sse, ssim = evaluate(params, jnp.asarray(crop[None]))
         n = crop.size
         psnr = psnr_from_accumulator(float(sse), float(n))
         print(f"{name:<28} PSNR {psnr:6.2f} dB   SSIM {float(ssim):.4f}")
