@@ -43,5 +43,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: np.ndarray, mesh: Mesh, axis_name: str = "data"):
-    """Place a host batch onto the mesh, sharded along the batch dim."""
-    return jax.device_put(batch, batch_sharding(mesh, axis_name))
+    """Place a host batch onto the mesh, sharded along the batch dim.
+
+    Single-process: `batch` is the global batch, placed directly. Multi-host
+    (after jax.distributed.initialize): `batch` is this process's LOCAL
+    shard — the per-host loaders produce global_batch/process_count items
+    each (see train.py) — and the global array is assembled across hosts.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        global_shape = (batch.shape[0] * jax.process_count(),) + batch.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, batch, global_shape
+        )
+    return jax.device_put(batch, sharding)

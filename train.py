@@ -78,6 +78,15 @@ def main(argv=None) -> None:
     shard = None
     if jax.process_count() > 1:
         shard = (jax.process_index(), jax.process_count())
+        # config.training.batch_size is the GLOBAL batch: each host's loader
+        # produces its local slice, reassembled across hosts in shard_batch.
+        local = config.training.batch_size // jax.process_count()
+        if local * jax.process_count() != config.training.batch_size:
+            raise SystemExit(
+                f"training.batch_size={config.training.batch_size} must be "
+                f"divisible by the process count ({jax.process_count()})"
+            )
+        config.training.batch_size = local
     val_sampler, pretrain_loader, train_loader = make_loaders(config, shard=shard)
 
     trainer = Trainer(config, mesh=mesh)
