@@ -54,9 +54,8 @@ class SRInferenceEngine:
         (data-parallel serving: N chips upscale N slices of every batch;
         batch sizes must divide the mesh). Orthogonal to the spatial tiling
         path in parallel/spatial.py, which shards a single huge frame.
+      scale_factor: total upscale (2, 4, or 8); 4 matches the reference.
     """
-
-    SCALE = 4
 
     def __init__(
         self,
@@ -67,10 +66,12 @@ class SRInferenceEngine:
         bucket: int = 0,
         use_pallas: bool = False,
         mesh=None,
+        scale_factor: int = 4,
     ):
+        self.SCALE = scale_factor
         self.model = Generator(
             n_filters=n_filters, n_layers=n_layers, dtype=dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, scale_factor=scale_factor,
         )
         self.bucket = bucket
         self.mesh = mesh

@@ -144,6 +144,11 @@ class Generator(nn.Module):
 
     n_filters: int = 64
     n_layers: int = 8
+    # Total upscale = 2^(number of upsample stages). The reference hardcodes
+    # 4x (model.py:97-100 — its data.scale_factor key never reaches the
+    # model); here it is honored: 2, 4, or 8. The shipped checkpoints are
+    # scale_factor=4 (two stages).
+    scale_factor: int = 4
     dtype: Any = jnp.float32
     use_pallas: bool = False
     # Run each upsample stage as the fully-fused Mosaic kernel (experimental
@@ -179,7 +184,12 @@ class Generator(nn.Module):
         y = instance_norm_nhwc(y)
         y = y + residual  # long skip (reference model.py:115)
 
-        for i in range(2):  # fixed 4x: two 2x stages (reference model.py:97-100)
+        n_stages = {2: 1, 4: 2, 8: 3}.get(self.scale_factor)
+        if n_stages is None:
+            raise ValueError(
+                f"scale_factor must be 2, 4, or 8; got {self.scale_factor}"
+            )
+        for i in range(n_stages):
             y = UpSamplingBlock(
                 self.n_filters, dtype=self.dtype,
                 fused=self.fused_upsample, name=f"upsampling_{i}",

@@ -74,7 +74,8 @@ def generator_forward(
         t = prelu(norm(conv(y, blk["conv1"])), blk["relu1"]["alpha"])
         y = norm(conv(t, blk["conv2"])) + y
     y = norm(conv(y, p["bottleneck_conv"])) + r
-    for j in range(2):
+    n_up = len([k for k in p if k.startswith("upsampling_")])
+    for j in range(n_up):
         blk = p[f"upsampling_{j}"]
         y = prelu(pixel_shuffle_nhwc(conv(y, blk["conv"]), 2), blk["relu"]["alpha"])
     return jnp.tanh(conv(y, p["head_conv"]).astype(jnp.float32))

@@ -95,6 +95,7 @@ def build_bundle(
     generator = Generator(
         n_filters=config.generator.n_filters,
         n_layers=config.generator.n_layers,
+        scale_factor=config.data.scale_factor,
         dtype=dtype,
         use_pallas=config.kernels.use_pallas,
         fused_upsample=config.kernels.get("fused_upsample", False),

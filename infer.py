@@ -100,6 +100,7 @@ def main(argv=None) -> None:
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         bucket=args.bucket,
         use_pallas=config.kernels.use_pallas,
+        scale_factor=config.data.scale_factor,
     )
 
     if args.video is not None:

@@ -1,0 +1,53 @@
+"""Generalized scale factors (2x/8x) — beyond the reference's hardcoded 4x."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_srgan_tpu.config import default_config
+from fast_srgan_tpu.inference import SRInferenceEngine
+from fast_srgan_tpu.models import Generator
+from fast_srgan_tpu.train.steps import build_bundle
+
+
+class TestScaleFactors:
+    @pytest.mark.parametrize("scale,stages", [(2, 1), (4, 2), (8, 3)])
+    def test_forward_shapes(self, scale, stages):
+        model = Generator(n_filters=8, n_layers=1, scale_factor=scale)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        ups = [k for k in params["params"] if k.startswith("upsampling_")]
+        assert len(ups) == stages
+        y = model.apply(params, jnp.zeros((1, 8, 12, 3)))
+        assert y.shape == (1, 8 * scale, 12 * scale, 3)
+
+    def test_invalid_scale_raises(self):
+        with pytest.raises(ValueError, match="scale_factor"):
+            Generator(n_filters=8, n_layers=1, scale_factor=3).init(
+                jax.random.key(0), jnp.zeros((1, 8, 8, 3))
+            )
+
+    def test_engine_2x(self, rng):
+        model = Generator(n_filters=8, n_layers=1, scale_factor=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32, scale_factor=2
+        )
+        out = engine.upscale_batch(
+            rng.integers(0, 256, (1, 10, 14, 3), dtype=np.uint8)
+        )
+        assert out.shape == (1, 20, 28, 3)
+
+    def test_2x_train_step(self, rng):
+        config = default_config(
+            data={"lr_image_size": 12, "scale_factor": 2},
+            generator={"n_filters": 8, "n_layers": 1},
+            discriminator={"n_filters": 8},
+            training={"bf16": False},
+        )
+        bundle, g_state, d_state, vgg_params = build_bundle(config)
+        batch = jnp.asarray(rng.integers(0, 256, (2, 24, 24, 3), dtype=np.uint8))
+        g_state, d_state, metrics = bundle.gan_step(
+            g_state, d_state, vgg_params, batch, jax.random.key(0)
+        )
+        assert np.isfinite(float(metrics["g_loss"]))
