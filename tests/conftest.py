@@ -19,12 +19,12 @@ import jax  # noqa: E402
 if jax.config.jax_platforms != "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-import tempfile  # noqa: E402
-
-from fast_srgan_tpu.utils import jax_cache  # noqa: E402
-
-# Compiles dominate suite runtime; persist them across pytest runs.
-jax_cache.enable(os.path.join(tempfile.gettempdir(), "fastsr_test_xla_cache"))
+# NOTE: the persistent compilation cache is deliberately NOT enabled here.
+# XLA:CPU AOT entries record host CPU features that the loader sometimes
+# fails to re-match in a later process on the same machine ("could lead to
+# execution errors such as SIGILL" warnings) — not worth the flake risk in
+# the test suite. The TPU CLIs keep the cache (utils/jax_cache.py), where
+# executables load via the TPU plugin and the issue does not apply.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
