@@ -41,6 +41,11 @@ DEFAULT_CHECKPOINTS = (
 
 def load_generator_params(path: str):
     """Load generator params from .npz (native) or .pt (reference format)."""
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"checkpoint not found: {path!r} (expected a native .npz or a "
+            "reference-format .pt file)"
+        )
     if path.endswith(".npz"):
         from fast_srgan_tpu.checkpoints.npz_io import load_npz_params
 

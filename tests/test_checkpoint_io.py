@@ -1,0 +1,67 @@
+"""Orbax CheckpointIO + npz_io unit tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_srgan_tpu.checkpoints.npz_io import (
+    flatten_tree,
+    load_npz_params,
+    save_npz_params,
+    unflatten_tree,
+)
+from fast_srgan_tpu.checkpoints.orbax_io import CheckpointIO
+
+
+class TestNpzIO:
+    def test_roundtrip(self, tmp_path, rng):
+        tree = {
+            "params": {
+                "a": {"kernel": rng.standard_normal((3, 3)).astype(np.float32)},
+                "b": {"bias": rng.standard_normal((4,)).astype(np.float32)},
+            }
+        }
+        path = str(tmp_path / "p.npz")
+        save_npz_params(path, tree)
+        back = load_npz_params(path)
+        np.testing.assert_array_equal(
+            back["params"]["a"]["kernel"], tree["params"]["a"]["kernel"]
+        )
+        np.testing.assert_array_equal(
+            back["params"]["b"]["bias"], tree["params"]["b"]["bias"]
+        )
+
+    def test_wrapper_added_when_missing(self, tmp_path):
+        path = str(tmp_path / "q.npz")
+        save_npz_params(path, {"x": {"y": np.zeros(2, np.float32)}})
+        back = load_npz_params(path)
+        assert "params" in back
+
+    def test_flatten_unflatten_inverse(self):
+        tree = {"a": {"b": {"c": np.ones(1)}}, "d": np.zeros(2)}
+        assert unflatten_tree(flatten_tree(tree)).keys() == tree.keys()
+
+
+class TestCheckpointIO:
+    def test_save_restore_latest(self, tmp_path):
+        io = CheckpointIO(str(tmp_path / "ck"), max_to_keep=2)
+        tree = {"w": jnp.arange(6.0).reshape(2, 3)}
+        assert io.latest_step() is None
+        io.save(3, tree)
+        io.save(7, {"w": jnp.ones((2, 3))})
+        io.wait()
+        assert io.latest_step() == 7
+        assert io.has_step(3) and not io.has_step(5)
+        back = io.restore(3, like=tree)
+        np.testing.assert_array_equal(np.asarray(back["w"]), np.arange(6.0).reshape(2, 3))
+        io.close()
+
+    def test_retention(self, tmp_path):
+        io = CheckpointIO(str(tmp_path / "ck"), max_to_keep=2)
+        tree = {"w": jnp.zeros(2)}
+        for s in (1, 2, 3):
+            io.save(s, tree)
+        io.wait()
+        assert not io.has_step(1)  # evicted
+        assert io.has_step(2) and io.has_step(3)
+        io.close()
