@@ -37,6 +37,9 @@ jax_cache.enable()
 
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
+    if any(a in ("-h", "--help") for a in argv):
+        print(__doc__)
+        return
     config = load_config("configs/config.yaml", overrides=argv)
 
     if config.parallel.multihost:
