@@ -289,18 +289,34 @@ class Trainer:
         self.ckpt.save(step, self._state_tree())
         if self.config.training.get("export_pt", False):
             from fast_srgan_tpu.checkpoints.torch_compat import (
+                discriminator_params_to_torch_state_dict,
                 generator_params_to_torch_state_dict,
             )
             import torch
 
+            def dump(sd, name):
+                torch.save(
+                    {
+                        k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()
+                    },
+                    os.path.join(save_dir, name),
+                )
+
             save_dir = os.path.join("runs", self.config.experiment.name)
             os.makedirs(save_dir, exist_ok=True)
-            sd = generator_params_to_torch_state_dict(
-                jax.device_get(self.g_state.params)
+            # Both networks, reference file naming (trainer.py:143-156).
+            dump(
+                generator_params_to_torch_state_dict(
+                    jax.device_get(self.g_state.params)
+                ),
+                f"generator_epoch_{step}.pt",
             )
-            torch.save(
-                {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
-                os.path.join(save_dir, f"generator_epoch_{step}.pt"),
+            dump(
+                discriminator_params_to_torch_state_dict(
+                    jax.device_get(self.d_state.params)
+                ),
+                f"discriminator_epoch_{step}.pt",
             )
 
     def close(self) -> None:

@@ -71,3 +71,21 @@ class TestGeneratorWithPallasFlag:
         a = plain.apply(params, x)
         b = fused.apply(params, x)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestVarianceClampRegression:
+    def test_near_constant_input_no_nan(self, rng):
+        # fp32 cancellation regime: near-constant large-magnitude channel.
+        from fast_srgan_tpu.kernels.instance_norm import (
+            _pallas_forward_chunked,
+            _largest_chunk,
+            _LANES,
+        )
+        x = jnp.full((1, 16, 16, 64), 40.0, jnp.float32)
+        x = x + jnp.asarray(rng.normal(0, 1e-4, x.shape), jnp.float32)
+        alpha = jnp.asarray([0.25], jnp.float32)
+        hw = 256
+        chunk = _largest_chunk(hw // (_LANES // 64), 8)
+        with pltpu.force_tpu_interpret_mode():
+            y = _pallas_forward_chunked(x, alpha, chunk)
+        assert np.isfinite(np.asarray(y)).all()
