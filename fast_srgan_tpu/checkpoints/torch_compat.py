@@ -288,3 +288,126 @@ def vgg19_params_from_torch_state_dict(
         b = np.asarray(sd[f"features.{t_i}.bias"], dtype=np.float32)
         p[f"conv_{our_i}"] = {"kernel": _oihw_to_hwio(w), "bias": b}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state conversion (optax AdamW <-> torch AdamW state_dict)
+# ---------------------------------------------------------------------------
+# The reference checkpoints optimizer state as raw torch AdamW state_dicts
+# (trainer.py:149-156: generator_optim_epoch_{step}.pt /
+# discriminator_optim_epoch_{step}.pt). These converters make full training
+# state exchangeable in both directions: torch AdamW keys its state by the
+# index of each parameter in model.parameters() order, which for the
+# reference modules is registration order. mu/nu mirror the param pytree, so
+# the existing weight converters (incl. the OIHW<->HWIO transpose) map them.
+
+GENERATOR_TORCH_PARAM_ORDER_HEAD = ["neck.0.weight", "neck.0.bias", "neck.1.weight"]
+
+
+def generator_torch_param_order(n_layers: int) -> list:
+    order = list(GENERATOR_TORCH_PARAM_ORDER_HEAD)
+    for i in range(n_layers):
+        order += [
+            f"stem.{i}.conv1.weight",
+            f"stem.{i}.relu1.weight",
+            f"stem.{i}.conv2.weight",
+        ]
+    order.append("bottleneck.0.weight")
+    for j in range(2):
+        order += [
+            f"upsampling.{j}.conv.weight",
+            f"upsampling.{j}.conv.bias",
+            f"upsampling.{j}.relu.weight",
+        ]
+    order += ["head.0.weight", "head.0.bias"]
+    return order
+
+
+def discriminator_torch_param_order() -> list:
+    order = ["neck.0.weight", "neck.0.bias"]
+    order += [f"stem.{i}.conv.weight" for i in range(7)]
+    order += ["stem.7.weight", "stem.7.bias"]
+    return order
+
+
+def _adam_state(opt_state):
+    """Find the ScaleByAdamState in an optax.adamw chain state."""
+    for part in opt_state:
+        if hasattr(part, "mu") and hasattr(part, "nu"):
+            return part
+    raise ValueError("opt_state does not contain a ScaleByAdamState")
+
+
+def _optimizer_to_torch(opt_state, params_to_sd, order, lr):
+    adam = _adam_state(opt_state)
+    count = float(adam.count)
+    mu_sd = params_to_sd(adam.mu)
+    nu_sd = params_to_sd(adam.nu)
+    state = {
+        i: {
+            "step": np.float32(count),
+            "exp_avg": mu_sd[k],
+            "exp_avg_sq": nu_sd[k],
+        }
+        for i, k in enumerate(order)
+    }
+    param_groups = [{
+        "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0.01,
+        "amsgrad": False, "maximize": False, "foreach": None,
+        "capturable": False, "differentiable": False, "fused": True,
+        "params": list(range(len(order))),
+    }]
+    return {"state": state, "param_groups": param_groups}
+
+
+def _optimizer_from_torch(sd, sd_to_params, order, like_opt_state):
+    import jax
+    import jax.numpy as jnp
+
+    state = sd["state"]
+    # keys may be int or str depending on serialization
+    get = lambda i: state[i] if i in state else state[str(i)]
+    mu_sd = {k: np.asarray(get(i)["exp_avg"], np.float32) for i, k in enumerate(order)}
+    nu_sd = {k: np.asarray(get(i)["exp_avg_sq"], np.float32) for i, k in enumerate(order)}
+    count = int(float(np.asarray(get(0)["step"])))
+    mu = sd_to_params(mu_sd)
+    nu = sd_to_params(nu_sd)
+    adam = _adam_state(like_opt_state)
+    new_adam = adam._replace(
+        count=jnp.asarray(count, jnp.int32),
+        mu=jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), adam.mu, mu),
+        nu=jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), adam.nu, nu),
+    )
+    return tuple(new_adam if part is adam else part for part in like_opt_state)
+
+
+def generator_optimizer_to_torch_state_dict(opt_state, n_layers: int = 8, lr: float = 1e-4):
+    """optax AdamW state -> torch AdamW state_dict (reference param order)."""
+    return _optimizer_to_torch(
+        opt_state, generator_params_to_torch_state_dict,
+        generator_torch_param_order(n_layers), lr,
+    )
+
+
+def generator_optimizer_from_torch_state_dict(sd, like_opt_state, n_layers: int = 8):
+    """torch AdamW state_dict -> optax AdamW state (structure from `like`)."""
+    return _optimizer_from_torch(
+        sd,
+        lambda s: generator_params_from_torch_state_dict(s, n_layers),
+        generator_torch_param_order(n_layers), like_opt_state,
+    )
+
+
+def discriminator_optimizer_to_torch_state_dict(opt_state, lr: float = 1e-4):
+    return _optimizer_to_torch(
+        opt_state, discriminator_params_to_torch_state_dict,
+        discriminator_torch_param_order(), lr,
+    )
+
+
+def discriminator_optimizer_from_torch_state_dict(sd, like_opt_state):
+    return _optimizer_from_torch(
+        sd,
+        lambda s: discriminator_params_from_torch_state_dict(s),
+        discriminator_torch_param_order(), like_opt_state,
+    )

@@ -289,23 +289,33 @@ class Trainer:
         self.ckpt.save(step, self._state_tree())
         if self.config.training.get("export_pt", False):
             from fast_srgan_tpu.checkpoints.torch_compat import (
+                discriminator_optimizer_to_torch_state_dict,
                 discriminator_params_to_torch_state_dict,
+                generator_optimizer_to_torch_state_dict,
                 generator_params_to_torch_state_dict,
             )
             import torch
 
+            def torchify(obj):
+                if isinstance(obj, dict):
+                    return {k: torchify(v) for k, v in obj.items()}
+                if isinstance(obj, (list, tuple)):
+                    return type(obj)(torchify(v) for v in obj)
+                if isinstance(obj, np.ndarray):
+                    return torch.from_numpy(np.ascontiguousarray(obj))
+                if isinstance(obj, np.floating):
+                    return torch.tensor(float(obj))
+                return obj
+
             def dump(sd, name):
-                torch.save(
-                    {
-                        k: torch.from_numpy(np.ascontiguousarray(v))
-                        for k, v in sd.items()
-                    },
-                    os.path.join(save_dir, name),
-                )
+                torch.save(torchify(sd), os.path.join(save_dir, name))
 
             save_dir = os.path.join("runs", self.config.experiment.name)
             os.makedirs(save_dir, exist_ok=True)
-            # Both networks, reference file naming (trainer.py:143-156).
+            # All four reference files (trainer.py:143-156): both networks
+            # plus both torch-AdamW-loadable optimizer states, so a run can
+            # even be resumed by the upstream trainer.
+            n_layers = self.config.generator.n_layers
             dump(
                 generator_params_to_torch_state_dict(
                     jax.device_get(self.g_state.params)
@@ -317,6 +327,20 @@ class Trainer:
                     jax.device_get(self.d_state.params)
                 ),
                 f"discriminator_epoch_{step}.pt",
+            )
+            dump(
+                generator_optimizer_to_torch_state_dict(
+                    jax.device_get(self.g_state.opt_state), n_layers=n_layers,
+                    lr=self.config.training.generator_lr,
+                ),
+                f"generator_optim_epoch_{step}.pt",
+            )
+            dump(
+                discriminator_optimizer_to_torch_state_dict(
+                    jax.device_get(self.d_state.opt_state),
+                    lr=self.config.training.discriminator_lr,
+                ),
+                f"discriminator_optim_epoch_{step}.pt",
             )
 
     def close(self) -> None:

@@ -128,3 +128,40 @@ class TestGanPhase:
         assert int(t2.g_state.step) == 4
         assert t2.ckpt.latest_step() == 4  # end-of-phase snapshot
         t2.close()
+
+
+class TestPtExport:
+    def test_four_reference_files(self, npy_dir, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="e")
+        config.training.export_pt = True
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+        trainer = Trainer(config)
+        trainer.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer.train(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer.close()
+        run_dir = tmp_path / "runs" / "e"
+        for name in (
+            "generator_epoch_2.pt", "discriminator_epoch_2.pt",
+            "generator_optim_epoch_2.pt", "discriminator_optim_epoch_2.pt",
+        ):
+            assert (run_dir / name).exists(), name
+        # exported optimizer state loads into a real torch AdamW
+        import torch
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            generator_torch_param_order,
+        )
+        gsd = torch.load(run_dir / "generator_epoch_2.pt", weights_only=True)
+        osd = torch.load(
+            run_dir / "generator_optim_epoch_2.pt", weights_only=True
+        )
+        torch_params = [
+            torch.nn.Parameter(gsd[k])
+            for k in generator_torch_param_order(config.generator.n_layers)
+        ]
+        opt = torch.optim.AdamW(torch_params, lr=1e-4)
+        opt.load_state_dict(osd)
+        # 2 pretrain + 2 GAN optimizer steps carried in the Adam count
+        assert float(opt.state_dict()["state"][0]["step"]) == 4.0
