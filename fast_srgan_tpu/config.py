@@ -91,6 +91,10 @@ DEFAULTS: dict = {
         "vgg_weights": None,  # path to a torchvision vgg19 state_dict (.pth)
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
+        "export_pt": False,  # also write reference-format .pt files
+        # Warm-start from reference-format checkpoints (migration path):
+        "init_generator_pt": None,
+        "init_generator_optim_pt": None,
     },
     "parallel": {
         "data_axis": "data",  # 1-D mesh axis name for data parallelism

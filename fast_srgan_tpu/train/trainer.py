@@ -61,6 +61,40 @@ class Trainer:
         # the end-of-pretrain snapshot, so it lives in its own directory.
         self.ckpt = CheckpointIO(ckpt_dir)
         self.pretrain_ckpt = CheckpointIO(ckpt_dir + "_pretrain", max_to_keep=1)
+        init_pt = config.training.get("init_generator_pt")
+        if init_pt:
+            # Warm-start from a reference-format generator checkpoint
+            # (migration path: continue an upstream run here). Optional
+            # optimizer state alongside restores AdamW moments too.
+            from fast_srgan_tpu.checkpoints.torch_compat import (
+                generator_optimizer_from_torch_state_dict,
+                load_reference_generator_params,
+            )
+
+            params = jax.tree.map(
+                jnp.asarray, load_reference_generator_params(init_pt)
+            )
+            self.g_state = self.g_state.replace(params=params)
+            init_opt = config.training.get("init_generator_optim_pt")
+            if init_opt:
+                import torch
+
+                sd = torch.load(init_opt, map_location="cpu", weights_only=False)
+                sd = {
+                    "state": {
+                        k: {k2: (v2.numpy() if hasattr(v2, "numpy") else v2)
+                            for k2, v2 in v.items()}
+                        for k, v in sd["state"].items()
+                    },
+                    "param_groups": sd["param_groups"],
+                }
+                self.g_state = self.g_state.replace(
+                    opt_state=generator_optimizer_from_torch_state_dict(
+                        sd, self.g_state.opt_state,
+                        n_layers=config.generator.n_layers,
+                    )
+                )
+            print(f"Initialized generator from {init_pt}")
         self.fixed_lr01: Optional[np.ndarray] = None
         self.fixed_hr01: Optional[np.ndarray] = None
         self._panel_phases: set = set()

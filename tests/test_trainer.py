@@ -165,3 +165,26 @@ class TestPtExport:
         opt.load_state_dict(osd)
         # 2 pretrain + 2 GAN optimizer steps carried in the Adam count
         assert float(opt.state_dict()["state"][0]["step"]) == 4.0
+
+
+class TestWarmStart:
+    def test_init_from_reference_pt(self, npy_dir, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        if not os.path.exists("/root/reference/models/model.pt"):
+            pytest.skip("reference checkpoint not mounted")
+        config = make_config(tmp_path, npy_dir, name="w")
+        config.generator.n_filters = 64
+        config.generator.n_layers = 8
+        config.training.init_generator_pt = "/root/reference/models/model.pt"
+        trainer = Trainer(config)
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            load_reference_generator_params,
+        )
+        want = load_reference_generator_params(
+            "/root/reference/models/model.pt"
+        )
+        got = trainer.g_state.params["params"]["neck_conv"]["kernel"]
+        np.testing.assert_array_equal(
+            np.asarray(got), want["params"]["neck_conv"]["kernel"]
+        )
+        trainer.close()
