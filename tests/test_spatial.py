@@ -73,3 +73,15 @@ class TestTiledForward:
         tiled_fn = build_tiled_forward(mesh, dtype=jnp.float32)
         y = tiled_fn(params, jnp.zeros((1, 540, 960, 3)))
         assert y.shape == (1, 2160, 3840, 3)
+
+
+class TestTiledOtherScales:
+    def test_2x_tiled_matches_single(self, rng):
+        model = Generator(n_filters=8, n_layers=2, scale_factor=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        mesh = make_mesh(8, axis_name="sp")
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 3)).astype(np.float32))
+        single = np.asarray(model.apply(params, x))
+        tiled = np.asarray(build_tiled_forward(mesh, dtype=jnp.float32)(params, x))
+        assert tiled.shape == single.shape == (1, 32, 128, 3)
+        np.testing.assert_allclose(tiled, single, atol=3e-5)
