@@ -84,7 +84,8 @@ def main() -> None:
     print(f"hbm bytes      : {bytes_ / 1e6:.2f} MB")
     if flops and bytes_:
         print(f"arith intensity: {flops / max(bytes_, 1):.1f} flop/byte")
-    if seconds == seconds:
+    if seconds == seconds and seconds > 0:
+        # (the cost model returns nonsense negatives for some programs)
         print(f"xla optimal    : {seconds * 1e3:.3f} ms")
     mem = compiled.memory_analysis()
     if mem is not None:
