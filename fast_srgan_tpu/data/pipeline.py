@@ -201,8 +201,16 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         base_seed = self._base_seed
         done = threading.Event()
-        # Tickets bound how far any producer may run ahead of the consumer.
-        tickets = threading.Semaphore(self.prefetch + self.workers)
+        # Lead window: producer of batch b waits until b < consumed + WINDOW.
+        # Keyed to the *consumer's position* (not a global ticket pool): the
+        # producer of the oldest still-needed batch always passes, so the
+        # window can never deadlock — a plain counting semaphore could (and
+        # did, in a live SIGINT drill: workers striping batch indices
+        # exhausted every ticket on later batches while the next-needed
+        # batch's producer starved; training hung mid-epoch).
+        window = self.prefetch + self.workers
+        lead = threading.Condition()
+        consumed = [start]
         _ERR = object()
 
         def _put(item) -> None:
@@ -217,9 +225,9 @@ class PrefetchLoader:
 
         def produce(worker_id: int) -> None:
             for b in range(start + worker_id, self.num_batches, self.workers):
-                while not tickets.acquire(timeout=0.1):
-                    if done.is_set():
-                        return
+                with lead:
+                    while b - consumed[0] >= window and not done.is_set():
+                        lead.wait(timeout=0.1)
                 if done.is_set():
                     return
                 try:
@@ -249,9 +257,13 @@ class PrefetchLoader:
                     received[b] = batch
                 yield received.pop(next_idx)
                 next_idx += 1
-                tickets.release()
+                with lead:
+                    consumed[0] = next_idx
+                    lead.notify_all()
         finally:
             done.set()
+            with lead:
+                lead.notify_all()
             # Unblock any producer waiting in put(); they poll `done`.
             while not q.empty():
                 try:

@@ -115,3 +115,31 @@ class TestPrefetchLoader:
         s = CropSampler(list_numpy_files(npy_dir), 24, 4, seed=5, backend="numpy")
         for batch in PrefetchLoader(s, 3, 2):
             assert batch.shape == (3, 96, 96, 3) and batch.dtype == np.uint8
+
+
+class TestPrefetchDeadlockRegression:
+    def test_many_workers_small_window_completes(self, dataset):
+        # Regression for a live-caught deadlock: with batch indices striped
+        # across many workers and a small bound, a ticket-pool design let
+        # later batches exhaust the window while the next-needed batch's
+        # producer starved. The lead-window design must always complete.
+        _, npy_dir = dataset
+        s = CropSampler(list_numpy_files(npy_dir), 16, 4, seed=3, backend="numpy")
+        loader = PrefetchLoader(s, 2, 400, prefetch=1, workers=8)
+        n = sum(1 for _ in loader)
+        assert n == 400
+
+    def test_iter_from_resume_matches_full_stream(self, dataset):
+        _, npy_dir = dataset
+        paths = list_numpy_files(npy_dir)
+        a = PrefetchLoader(
+            CropSampler(paths, 16, 4, seed=9, backend="numpy"), 2, 10, workers=3
+        )
+        full = list(a)
+        b = PrefetchLoader(
+            CropSampler(paths, 16, 4, seed=9, backend="numpy"), 2, 10, workers=3
+        )
+        resumed = list(b.iter_from(6))
+        assert len(resumed) == 4
+        for x, y in zip(full[6:], resumed):
+            np.testing.assert_array_equal(x, y)
