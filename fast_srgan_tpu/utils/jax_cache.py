@@ -13,9 +13,20 @@ import os
 
 
 def enable(directory: str | None = None) -> str:
-    """Enable the persistent compilation cache (idempotent); returns dir."""
+    """Enable the persistent compilation cache (idempotent); returns dir.
+
+    No-op (returns "") on CPU: XLA:CPU AOT cache entries embed the compile
+    machine's feature set and reload with SIGILL-risk warnings on a host
+    whose features differ (observed in this environment). CPU compiles are
+    seconds anyway; the cache only pays for itself on TPU.
+    """
     import jax
 
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms and all(
+        p.strip() == "cpu" for p in platforms.split(",") if p.strip()
+    ):
+        return ""
     directory = (
         directory
         or os.environ.get("FASTSR_JAX_CACHE")
