@@ -63,11 +63,20 @@ def main() -> None:
     model = Generator(
         n_filters=64, n_layers=8, dtype=jnp.bfloat16, use_pallas=use_pallas
     )
+    # LR-domain tail (ops/lr_tail.py): exact phase-decomposition transform,
+    # measured 1.27x end-to-end on v5e (scripts/lr_tail_experiment.py).
+    if os.environ.get("BENCH_LR_TAIL", "1") == "1" and not use_pallas:
+        from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail
+        import functools
+
+        apply_fn = functools.partial(generator_apply_lr_tail, model)
+    else:
+        apply_fn = model.apply
 
     @jax.jit
     def forward_u8(p, x_u8):
         x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        y = model.apply(p, x)
+        y = apply_fn(p, x)
         u8 = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
         # int32 checksum: a 4-byte completion token per batch (see module
         # docstring — bulk fetch would measure the dev tunnel, and

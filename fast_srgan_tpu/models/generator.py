@@ -161,7 +161,13 @@ class Generator(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, trunk_only: bool = False) -> jnp.ndarray:
+        """Full forward, or (``trunk_only=True``, a static trace-time flag)
+        just neck -> stem -> bottleneck (+ long skip) — everything before the
+        upsampling tail, at LR resolution. The LR-domain tail transform
+        (ops/lr_tail.py) reuses the trunk via
+        ``Generator.apply(params, x, trunk_only=True)``; the unused tail
+        params in the tree are ignored by flax."""
         x = x.astype(self.dtype)
         residual = nn.Conv(
             self.n_filters, (3, 3), padding=PAD1, dtype=self.dtype,
@@ -183,6 +189,8 @@ class Generator(nn.Module):
         )(y)
         y = instance_norm_nhwc(y)
         y = y + residual  # long skip (reference model.py:115)
+        if trunk_only:
+            return y
 
         n_stages = {2: 1, 4: 2, 8: 3}.get(self.scale_factor)
         if n_stages is None:

@@ -1,0 +1,177 @@
+"""LR-domain upsampling tail: the whole 4x tail as LR-resolution convs.
+
+The reference tail (/root/reference/model.py:26-40,97-110) is
+
+    conv3x3(F->4F) -> PixelShuffle(2) -> PReLU          (at LR,  -> 2x res)
+    conv3x3(F->4F) -> PixelShuffle(2) -> PReLU          (at 2x,  -> 4x res)
+    conv3x3(F->3)  -> tanh                              (at 4x)
+
+Profiling the straightforward lowering on v5e showed ~24 ms of a 71 ms
+batch-16 forward going to `copy` ops: the two pixel-shuffle transposes
+materialize the 2x- and 4x-resolution tensors, and the 64-channel convs at
+2x/4x resolution only fill half of the MXU's 128-wide lane dimension.
+
+This module computes the *same function* entirely at LR resolution:
+
+  * A conv3x3 applied after PixelShuffle(2) is exactly equivalent to four
+    per-phase conv2x2s at LR over the pre-shuffle (4F-channel) tensor. For
+    output phase p (per spatial dim), HR taps 2h+p+d (d in -1..1) regroup as
+    LR taps h+g with sub-pixel phase: p+d = 2g+i, so phase p reads the LR
+    window {h+p-1, h+p} — a kernel-2 conv with asymmetric padding
+    ((1-p, p), (1-q, q)). Each original tap lands in exactly one
+    (window, input-phase) slot; the rest stay zero.
+  * The PReLUs have a single shared slope (torch nn.PReLU() default,
+    reference model.py:37,60), so they commute with pixel shuffle and apply
+    directly to the phase-packed LR tensors.
+  * The final conv3x3 at 4x resolution becomes one dense conv3x3 at LR over
+    the 16F phase-packed channels, producing 48 = 3*16 channels ordered so
+    that a single pixel_shuffle(4) yields the output — taps 4h+s+d regroup
+    as s+d = 4g+t, all within one LR pixel of h.
+
+Cost/benefit: stage-2 conv FLOPs rise 1.78x and head FLOPs 4x (the
+phase-decomposed kernels are block-sparse but executed dense), ~+29% total
+network FLOPs — but every contraction becomes MXU-shaped (1024-long input
+contraction, 256/1024-wide outputs vs 64), no 2x/4x-resolution tensor is
+ever materialized except the final output, and both pixel-shuffle copies
+disappear. The transform is exact (pure kernel rearrangement): fp32 outputs
+match `Generator.__call__` to float tolerance; see tests/test_lr_tail.py.
+
+Inference-only by design (training keeps the canonical graph so checkpoints
+and the GAN losses stay on the reference formulation); only scale_factor=4
+(the reference's fixed factor and the shipped checkpoints) is supported.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from jax import lax
+
+from fast_srgan_tpu.ops.pixel_shuffle import pixel_shuffle_nhwc
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x: jnp.ndarray, kernel: jnp.ndarray, padding) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=padding,
+        dimension_numbers=_DN,
+    )
+
+
+def _phase_kernels_2x(k: jnp.ndarray) -> Dict[tuple, jnp.ndarray]:
+    """[3,3,Cin,Cout] conv applied at 2x res after PixelShuffle(2) ->
+    {(p, q): [2,2,4*Cin,Cout]} per-phase LR kernels.
+
+    Input channel packing is pixel_shuffle_nhwc's: c*4 + iy*2 + ix.
+    Phase (p, q) pairs with conv padding ((1-p, p), (1-q, q)).
+    """
+    _, _, cin, cout = k.shape
+    kernels: Dict[tuple, jnp.ndarray] = {}
+    for p in (0, 1):
+        for q in (0, 1):
+            kp = jnp.zeros((2, 2, 4 * cin, cout), k.dtype)
+            for dy in (-1, 0, 1):
+                t = p + dy
+                iy, gi = t & 1, (t >> 1) - (p - 1)
+                for dx in (-1, 0, 1):
+                    s = q + dx
+                    ix, gj = s & 1, (s >> 1) - (q - 1)
+                    kp = kp.at[gi, gj, (iy * 2 + ix)::4, :].set(
+                        k[dy + 1, dx + 1]
+                    )
+            kernels[(p, q)] = kp
+    return kernels
+
+
+def _head_kernel_4x(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,F,n] conv applied at 4x res -> one dense [3,3,16F,16n] LR kernel.
+
+    Input channels are the phase-major concat of the four stage-2 phase
+    outputs: (p*2+q)*4F + c*4 + i2*2 + j2, where the 4x row is
+    4h + 2p + i2 (stage-1 shuffle contributes the high bit). Output channels
+    are packed n*16 + sy*4 + sx so pixel_shuffle_nhwc(. , 4) finishes the job.
+    """
+    _, _, f, n = k.shape
+    kd = jnp.zeros((3, 3, 16 * f, 16 * n), k.dtype)
+    for sy in range(4):
+        for sx in range(4):
+            oc = sy * 4 + sx
+            for dy in (-1, 0, 1):
+                t = sy + dy
+                ty, gi = t & 3, (t >> 2) + 1
+                for dx in (-1, 0, 1):
+                    s = sx + dx
+                    tx, gj = s & 3, (s >> 2) + 1
+                    p, i2 = ty >> 1, ty & 1
+                    q, j2 = tx >> 1, tx & 1
+                    base = (p * 2 + q) * 4 * f
+                    kd = kd.at[
+                        gi, gj,
+                        (base + i2 * 2 + j2): (base + 4 * f): 4,
+                        oc::16,
+                    ].set(k[dy + 1, dx + 1])
+    return kd
+
+
+def lr_tail(
+    y: jnp.ndarray, params: Dict[str, Any], dtype: Any = jnp.float32
+) -> jnp.ndarray:
+    """Apply the 4x upsampling tail entirely at LR resolution.
+
+    Args:
+      y: trunk output [B, H, W, F] (Generator.__call__(..., trunk_only=True)).
+      params: the Generator param tree (the ``"params"`` collection) — reads
+        upsampling_0/, upsampling_1/, head_conv/ leaves unchanged; kernel
+        rearrangement happens here (cheap: a few hundred KB of scatters that
+        XLA hoists out of the conv hot path).
+      dtype: compute dtype for the convolutions (params stay fp32).
+
+    Returns [B, 4H, 4W, 3] in [-1, 1], numerically the canonical tail.
+    """
+    up0, up1 = params["upsampling_0"], params["upsampling_1"]
+    head = params["head_conv"]
+    y = y.astype(dtype)
+
+    # Stage 1: conv stays at LR verbatim; PReLU commutes with the shuffle.
+    a1 = _conv(y, up0["conv"]["kernel"].astype(dtype), ((1, 1), (1, 1)))
+    a1 = a1 + up0["conv"]["bias"].astype(dtype)
+    alpha1 = up0["relu"]["alpha"].astype(dtype)
+    a1 = jnp.where(a1 >= 0, a1, alpha1 * a1)  # [B, H, W, 4F]
+
+    # Stage 2: four per-phase conv2x2s over the phase-packed tensor.
+    k2 = _phase_kernels_2x(up1["conv"]["kernel"]).items()
+    b2 = up1["conv"]["bias"].astype(dtype)
+    phases = [
+        _conv(a1, kp.astype(dtype), ((1 - p, p), (1 - q, q))) + b2
+        for (p, q), kp in k2
+    ]
+    a2 = jnp.concatenate(phases, axis=-1)  # [B, H, W, 16F], phase-major
+    alpha2 = up1["relu"]["alpha"].astype(dtype)
+    a2 = jnp.where(a2 >= 0, a2, alpha2 * a2)
+
+    # Head: one dense LR conv producing all 16 sub-pixel phases, then the
+    # single (and only) depth-to-space of the whole tail.
+    kd = _head_kernel_4x(head["kernel"])
+    z = _conv(a2, kd.astype(dtype), ((1, 1), (1, 1)))
+    z = z + jnp.repeat(head["bias"], 16).astype(dtype)
+    z = jnp.tanh(z.astype(jnp.float32))  # [B, H, W, 48]
+    return pixel_shuffle_nhwc(z, 4)
+
+
+def generator_apply_lr_tail(
+    model, variables: Dict[str, Any], x: jnp.ndarray
+) -> jnp.ndarray:
+    """Drop-in for ``model.apply(variables, x)`` with the LR-domain tail.
+
+    ``model`` is a Generator with scale_factor=4; the param tree is the
+    canonical one (no conversion step — rearrangement happens in-graph).
+    """
+    if model.scale_factor != 4:
+        raise ValueError(
+            "lr_tail supports scale_factor=4 only "
+            f"(got {model.scale_factor}); use the canonical forward"
+        )
+    y = model.apply(variables, x, trunk_only=True)
+    return lr_tail(y, variables["params"], dtype=model.dtype)

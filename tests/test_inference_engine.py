@@ -53,9 +53,12 @@ class TestUpscaleImages:
             (40, 48, 3), (32, 32, 3), (40, 48, 3),
         ]
         # order preserved: each output equals its own single upscale
+        # (batch-2 and batch-1 are separately-compiled programs, so the last
+        # uint8 bit may round differently — same tolerance as above).
         for im, out in zip(images, outs):
             single = engine.upscale_batch(im[None])[0]
-            np.testing.assert_array_equal(out, single)
+            diff = np.abs(out.astype(np.int16) - single.astype(np.int16))
+            assert diff.max() <= 1
 
 
 class TestDataParallelEngine:
@@ -89,3 +92,31 @@ class TestStream:
         assert len(outs) == 10
         for f, o in zip(frames, outs):
             np.testing.assert_array_equal(o, engine.upscale_batch(f[None])[0])
+
+
+class TestLRTailEngine:
+    def test_default_on_for_4x_and_matches_canonical(self, rng):
+        model = Generator(n_filters=8, n_layers=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        kw = dict(n_filters=8, n_layers=2, dtype=jnp.float32)
+        e_on = SRInferenceEngine(params, **kw)
+        e_off = SRInferenceEngine(params, lr_tail=False, **kw)
+        assert e_on.lr_tail and not e_off.lr_tail
+        batch = rng.integers(0, 256, (2, 11, 13, 3), dtype=np.uint8)
+        a = e_on.upscale_batch(batch)
+        b = e_off.upscale_batch(batch)
+        # Exact transform; separately-compiled programs may round the last
+        # uint8 bit differently.
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+    def test_auto_off_for_non_4x_scales(self, rng):
+        model = Generator(n_filters=8, n_layers=1, scale_factor=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32, scale_factor=2
+        )
+        assert not engine.lr_tail
+        out = engine.upscale_batch(
+            rng.integers(0, 256, (1, 9, 10, 3), dtype=np.uint8)
+        )
+        assert out.shape == (1, 18, 20, 3)

@@ -1,0 +1,85 @@
+"""Exactness of the LR-domain upsampling tail (ops/lr_tail.py).
+
+The transform is pure kernel rearrangement, so fp32 outputs must match the
+canonical Generator forward to float-reassociation tolerance on arbitrary
+shapes (including odd H/W) and filter counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_srgan_tpu.models import Generator
+from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail, lr_tail
+
+
+def _perturbed_init(model, x, seed=1):
+    v = model.init(jax.random.PRNGKey(0), x)
+    # Nudge params off init symmetry (zero biases, equal alphas) so the test
+    # cannot pass by accident on a degenerate function.
+    rng = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(a.dtype), v
+    )
+
+
+class TestLRTailExactness:
+    @pytest.mark.parametrize(
+        "h,w,n_filters,n_layers",
+        [(24, 24, 64, 2), (17, 23, 32, 1), (24, 40, 64, 3), (5, 7, 16, 1)],
+    )
+    def test_matches_canonical_fp32(self, h, w, n_filters, n_layers):
+        model = Generator(
+            n_filters=n_filters, n_layers=n_layers, dtype=jnp.float32
+        )
+        x = jax.random.uniform(
+            jax.random.PRNGKey(h * w), (2, h, w, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        ref = model.apply(v, x)
+        got = generator_apply_lr_tail(model, v, x)
+        assert got.shape == ref.shape == (2, 4 * h, 4 * w, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.skipif(
+        not __import__("os").path.exists("/root/reference/models/model.pt"),
+        reason="reference checkpoint not mounted",
+    )
+    def test_pretrained_checkpoint_agrees(self):
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            load_reference_generator_params,
+        )
+
+        params = load_reference_generator_params(
+            "/root/reference/models/model.pt"
+        )
+        model = Generator(n_filters=64, n_layers=8, dtype=jnp.float32)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(3), (1, 32, 48, 3), minval=-1, maxval=1
+        )
+        ref = model.apply(params, x)
+        got = generator_apply_lr_tail(model, params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_rejects_non_4x(self):
+        model = Generator(n_filters=16, n_layers=1, scale_factor=2)
+        x = jnp.zeros((1, 8, 8, 3))
+        v = model.init(jax.random.PRNGKey(0), x)
+        with pytest.raises(ValueError, match="scale_factor=4"):
+            generator_apply_lr_tail(model, v, x)
+
+    def test_trunk_only_is_prefix_of_full(self):
+        """trunk_only returns the LR feature map the tail consumes, and the
+        canonical tail on it reproduces the full forward."""
+        model = Generator(n_filters=16, n_layers=1, dtype=jnp.float32)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(5), (1, 9, 11, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        y = model.apply(v, x, trunk_only=True)
+        assert y.shape == (1, 9, 11, 16)
+        got = lr_tail(y, v["params"], dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(model.apply(v, x)), atol=2e-5
+        )
