@@ -28,6 +28,10 @@ def main() -> None:
     parser.add_argument("--shape", default="16x180x320", help="BxHxW input")
     parser.add_argument("--trace", default=None, help="trace output dir")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument(
+        "--lr_tail", action="store_true",
+        help="profile the LR-domain tail forward (ops/lr_tail.py)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -44,8 +48,14 @@ def main() -> None:
         _, (params, _) = entry()
         model = Generator(n_filters=64, n_layers=8, dtype=dtype)
 
-        def fn(p, x):
-            return model.apply(p, x)
+        if args.lr_tail:
+            from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail
+
+            def fn(p, x):
+                return generator_apply_lr_tail(model, p, x)
+        else:
+            def fn(p, x):
+                return model.apply(p, x)
 
         example = (params, jnp.zeros((b, h, w, 3), jnp.float32))
     else:

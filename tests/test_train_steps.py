@@ -96,9 +96,13 @@ class TestEvalStep:
 class TestDataParallel:
     """The multi-chip path on the virtual 8-device CPU mesh (SURVEY.md §4)."""
 
-    def test_gan_step_on_mesh_matches_single_device(self, rng):
+    def test_gan_step_on_mesh_matches_single_device(self):
+        # Own fixed rng (not the session fixture): this test's fp32-tolerance
+        # comparisons are content-sensitive, and the shared stream's state
+        # depends on which tests ran before — a marginal batch must fail
+        # reproducibly, not only under one suite ordering.
         config = tiny_config()
-        batch_np = synthetic_batch(rng, batch=8)
+        batch_np = synthetic_batch(np.random.default_rng(1234), batch=8)
 
         bundle1, g1, d1, v1 = build_bundle(config)
         g1, d1, m1 = bundle1.gan_step(g1, d1, v1, jnp.asarray(batch_np), jax.random.key(3))
