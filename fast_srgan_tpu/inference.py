@@ -10,14 +10,13 @@ loop (its throughput limiter — SURVEY.md §3.3):
 
   * one jitted forward per (batch, H, W) signature, compile-cached;
   * images grouped by shape and batched;
-  * optional shape bucketing (pad LR to a bucket grid, crop the 4x output)
-    to bound recompiles on heterogeneous directories. CAUTION: bucketing is
-    *approximate* for this architecture — the generator's instance norms
-    compute statistics over the whole (padded) frame, so padding perturbs
-    every output pixel slightly (measured ~9/255 mean abs diff on test
-    images), not just a receptive-field margin. Default off; exact
-    arbitrary-shape tiled inference is the spatial shard_map path, which
-    psums the norm statistics across tiles;
+  * optional shape bucketing (zero-pad LR to a bucket grid, crop the 4x
+    output) to bound recompiles on heterogeneous directories — EXACT: the
+    masked forward (Generator valid_hw) computes instance-norm statistics
+    over each sample's valid region only and re-zeros padding after every
+    bias/norm, so padding only ever supplies the zeros the true image
+    edge's conv padding would. Each valid output pixel equals the unpadded
+    program's. Mixed true shapes batch together within a bucket;
   * streaming video path: frames flow through a double-buffered pipeline —
     JAX's async dispatch overlaps H2D copy of frame t+1 with compute of
     frame t; device->host transfer of uint8 (4x less PCIe than fp32);
@@ -47,8 +46,9 @@ class SRInferenceEngine:
       params: Flax param pytree for :class:`Generator`.
       n_filters / n_layers: generator hyperparameters.
       dtype: compute dtype (bf16 recommended on TPU; params stay fp32).
-      bucket: pad inputs up to multiples of `bucket` (LR pixels) and crop
-        the output, bounding the number of compiled shapes. 0 = exact shapes.
+      bucket: zero-pad inputs up to multiples of `bucket` (LR pixels) and
+        crop the output, bounding the number of compiled shapes. Exact (see
+        module docstring). 0 = one compiled program per distinct shape.
       use_pallas: enable the Pallas fused stem kernels.
       mesh: optional 1-D `jax.sharding.Mesh` — batches are sharded across it
         (data-parallel serving: N chips upscale N slices of every batch;
@@ -79,6 +79,11 @@ class SRInferenceEngine:
             n_filters=n_filters, n_layers=n_layers, dtype=dtype,
             use_pallas=use_pallas, scale_factor=scale_factor,
         )
+        if bucket and use_pallas:
+            raise ValueError(
+                "bucketed (masked) inference is not supported with the "
+                "Pallas tier; use bucket=0 or use_pallas=False"
+            )
         if lr_tail is None:
             lr_tail = scale_factor == 4 and not use_pallas
         self.lr_tail = lr_tail
@@ -123,10 +128,42 @@ class SRInferenceEngine:
 
         self._forward_f32 = _forward_f32
 
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            masked_jit_kwargs = dict(
+                in_shardings=(
+                    repl, self._batch_sharding,
+                    self._batch_sharding, self._batch_sharding,
+                ),
+                out_shardings=self._batch_sharding,
+            )
+        else:
+            masked_jit_kwargs = {}
+
+        @functools.partial(jax.jit, **masked_jit_kwargs)
+        def _forward_u8_masked(p, x_u8, valid_h, valid_w):
+            from fast_srgan_tpu.ops.norm import valid_mask_nhwc
+
+            mask, _ = valid_mask_nhwc(
+                x_u8.shape[1], x_u8.shape[2], valid_h, valid_w
+            )
+            # Normalize, then re-zero: the [-1,1] mapping sends padding's
+            # uint8 zeros to -1, but the masked forward needs exact zeros.
+            x = (x_u8.astype(jnp.float32) / 127.5 - 1.0) * mask
+            y = self._apply(p, x, valid_hw=(valid_h, valid_w))
+            return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+
+        self._forward_u8_masked = _forward_u8_masked
+
     def _put_batch(self, batch_u8) -> jnp.ndarray:
         if self._batch_sharding is not None:
             return jax.device_put(np.asarray(batch_u8), self._batch_sharding)
         return jnp.asarray(batch_u8)
+
+    def _put_1d(self, arr) -> jnp.ndarray:
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(arr), self._batch_sharding)
+        return jnp.asarray(arr)
 
     # -- core ---------------------------------------------------------------
 
@@ -137,9 +174,17 @@ class SRInferenceEngine:
             ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
             if (ph, pw) != (h, w):
                 batch_u8 = np.pad(
-                    batch_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
-                    mode="edge",
+                    batch_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
                 )
+                out = self._forward_u8_masked(
+                    self.params,
+                    self._put_batch(batch_u8),
+                    self._put_1d(np.full(b, h, np.int32)),
+                    self._put_1d(np.full(b, w, np.int32)),
+                )
+                return np.asarray(out)[
+                    :, : h * self.SCALE, : w * self.SCALE, :
+                ]
         out = self._forward_u8(self.params, self._put_batch(batch_u8))
         out = np.asarray(out)
         return out[:, : h * self.SCALE, : w * self.SCALE, :]
@@ -183,22 +228,58 @@ class SRInferenceEngine:
     def _grouped_upscale(
         self, sizes, take, batch_size
     ) -> Iterator[Tuple[int, np.ndarray]]:
-        """Shared same-shape grouping/batching; trailing partial batches are
-        padded to the compiled batch size rather than recompiled. Yields
+        """Shared grouping/batching; trailing partial batches are padded to
+        the compiled batch size rather than recompiled. Groups by exact
+        shape, or — with bucketing on — by bucket shape, so heterogeneous
+        sizes share both programs and batches (each sample zero-padded and
+        upscaled exactly via the masked forward, then cropped). Yields
         (original_index, upscaled) as each batch completes."""
         order: Dict[Tuple[int, int], List[int]] = {}
         for i, hw in enumerate(sizes):
-            order.setdefault(tuple(hw), []).append(i)
-        for _, idxs in order.items():
+            key = tuple(
+                _round_up(v, self.bucket) if self.bucket else v for v in hw
+            )
+            order.setdefault(key, []).append(i)
+        for (ph, pw), idxs in order.items():
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start : start + batch_size]
-                batch = np.stack([take(i) for i in chunk])
-                if len(chunk) < batch_size and len(idxs) > batch_size:
-                    pad = batch_size - len(chunk)
-                    batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
-                out = self.upscale_batch(batch)
-                for j, i in enumerate(chunk):
-                    yield i, out[j]
+                if self.bucket:
+                    imgs = []
+                    for i in chunk:
+                        im = take(i)
+                        h, w = im.shape[:2]
+                        imgs.append(
+                            np.pad(im, ((0, ph - h), (0, pw - w), (0, 0)))
+                        )
+                    batch = np.stack(imgs)
+                    vh = np.array([sizes[i][0] for i in chunk], np.int32)
+                    vw = np.array([sizes[i][1] for i in chunk], np.int32)
+                    if len(chunk) < batch_size and len(idxs) > batch_size:
+                        pad = batch_size - len(chunk)
+                        batch = np.concatenate(
+                            [batch, batch[-1:].repeat(pad, 0)]
+                        )
+                        vh = np.concatenate([vh, vh[-1:].repeat(pad)])
+                        vw = np.concatenate([vw, vw[-1:].repeat(pad)])
+                    out = np.asarray(
+                        self._forward_u8_masked(
+                            self.params, self._put_batch(batch),
+                            self._put_1d(vh), self._put_1d(vw),
+                        )
+                    )
+                    for j, i in enumerate(chunk):
+                        h, w = sizes[i]
+                        yield i, out[j, : h * self.SCALE, : w * self.SCALE]
+                else:
+                    batch = np.stack([take(i) for i in chunk])
+                    if len(chunk) < batch_size and len(idxs) > batch_size:
+                        pad = batch_size - len(chunk)
+                        batch = np.concatenate(
+                            [batch, batch[-1:].repeat(pad, 0)]
+                        )
+                    out = self.upscale_batch(batch)
+                    for j, i in enumerate(chunk):
+                        yield i, out[j]
 
     def stream(
         self, frames: Iterable[np.ndarray], batch_size: int = 8

@@ -29,7 +29,11 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fast_srgan_tpu.ops.norm import instance_norm_nhwc
+from fast_srgan_tpu.ops.norm import (
+    instance_norm_masked_nhwc,
+    instance_norm_nhwc,
+    valid_mask_nhwc,
+)
 from fast_srgan_tpu.ops.pixel_shuffle import pixel_shuffle_nhwc
 
 PAD1 = ((1, 1), (1, 1))
@@ -82,12 +86,18 @@ class ResidualBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask=None, count=None) -> jnp.ndarray:
+        norm = (
+            instance_norm_nhwc if mask is None
+            else lambda t: instance_norm_masked_nhwc(t, mask, count)
+        )
         y = nn.Conv(
             self.n_filters, (3, 3), padding=PAD1, use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
         if self.use_pallas:
+            if mask is not None:
+                raise ValueError("use_pallas does not support masked norms")
             from fast_srgan_tpu.kernels.instance_norm import (
                 instance_norm_prelu_nhwc,
             )
@@ -96,13 +106,13 @@ class ResidualBlock(nn.Module):
             alpha = PReLUAlpha(name="relu1")()
             y = instance_norm_prelu_nhwc(y, alpha)
         else:
-            y = instance_norm_nhwc(y)
+            y = norm(y)
             y = PReLU(dtype=self.dtype, name="relu1")(y)
         y = nn.Conv(
             self.n_filters, (3, 3), padding=PAD1, use_bias=False,
             dtype=self.dtype, name="conv2",
         )(y)
-        y = instance_norm_nhwc(y)
+        y = norm(y)
         return y + x
 
 
@@ -120,8 +130,10 @@ class UpSamplingBlock(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask=None) -> jnp.ndarray:
         if self.fused:
+            if mask is not None:
+                raise ValueError("fused upsample does not support masking")
             from fast_srgan_tpu.kernels.fused_upsample import fused_upsample
 
             # Own the same param paths as the unfused variant (conv/kernel,
@@ -135,6 +147,10 @@ class UpSamplingBlock(nn.Module):
             self.n_filters * 4, (3, 3), padding=PAD1, dtype=self.dtype,
             name="conv",
         )(x)
+        if mask is not None:
+            # Re-zero the padding the conv bias just filled in; the shuffle
+            # then propagates exact zeros to the 2x grid.
+            x = x * mask.astype(x.dtype)
         x = pixel_shuffle_nhwc(x, 2)
         return PReLU(dtype=self.dtype, name="relu")(x)
 
@@ -161,18 +177,42 @@ class Generator(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, trunk_only: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        trunk_only: bool = False,
+        valid_hw=None,
+    ) -> jnp.ndarray:
         """Full forward, or (``trunk_only=True``, a static trace-time flag)
         just neck -> stem -> bottleneck (+ long skip) — everything before the
         upsampling tail, at LR resolution. The LR-domain tail transform
         (ops/lr_tail.py) reuses the trunk via
         ``Generator.apply(params, x, trunk_only=True)``; the unused tail
-        params in the tree are ignored by flax."""
+        params in the tree are ignored by flax.
+
+        ``valid_hw`` = (valid_h, valid_w) int32 [B] arrays enables the exact
+        zero-pad-masked forward for shape-bucketed batches: ``x`` must be
+        zero outside each sample's valid region, norm statistics reduce over
+        the valid region only, and padding is re-zeroed after every bias/norm
+        so each valid output pixel is exactly what the unpadded forward
+        produces (padding only ever supplies the zeros the true image edge's
+        conv padding would) — see tests/test_masked.py. Padded regions of
+        the *output* are garbage; the caller crops.
+        """
         x = x.astype(self.dtype)
+        if valid_hw is not None:
+            mask, count = valid_mask_nhwc(
+                x.shape[1], x.shape[2], valid_hw[0], valid_hw[1]
+            )
+            maskc = mask.astype(self.dtype)
+        else:
+            mask = count = maskc = None
         residual = nn.Conv(
             self.n_filters, (3, 3), padding=PAD1, dtype=self.dtype,
             name="neck_conv",
         )(x)
+        if maskc is not None:
+            residual = residual * maskc  # re-zero what the bias filled in
         residual = PReLU(dtype=self.dtype, name="neck_relu")(residual)
 
         block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
@@ -181,13 +221,16 @@ class Generator(nn.Module):
             y = block_cls(
                 self.n_filters, dtype=self.dtype, use_pallas=self.use_pallas,
                 name=f"stem_{i}",
-            )(y)
+            )(y, mask, count)
 
         y = nn.Conv(
             self.n_filters, (3, 3), padding=PAD1, use_bias=False,
             dtype=self.dtype, name="bottleneck_conv",
         )(y)
-        y = instance_norm_nhwc(y)
+        y = (
+            instance_norm_nhwc(y) if mask is None
+            else instance_norm_masked_nhwc(y, mask, count)
+        )
         y = y + residual  # long skip (reference model.py:115)
         if trunk_only:
             return y
@@ -201,9 +244,19 @@ class Generator(nn.Module):
             y = UpSamplingBlock(
                 self.n_filters, dtype=self.dtype,
                 fused=self.fused_upsample, name=f"upsampling_{i}",
-            )(y)
+            )(y, maskc)
+            if maskc is not None and i + 1 < n_stages:
+                # The shuffle doubled the grid; rebuild the mask at the new
+                # resolution for the next stage's post-conv re-zeroing.
+                maskc, _ = valid_mask_nhwc(
+                    y.shape[1], y.shape[2],
+                    valid_hw[0] * (2 ** (i + 1)), valid_hw[1] * (2 ** (i + 1)),
+                )
+                maskc = maskc.astype(self.dtype)
 
         y = nn.Conv(
             3, (3, 3), padding=PAD1, dtype=self.dtype, name="head_conv"
         )(y)
+        # No final mask: valid output pixels only read masked inputs, and the
+        # caller crops the padded margin away.
         return jnp.tanh(y.astype(jnp.float32))

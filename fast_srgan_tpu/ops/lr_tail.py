@@ -116,7 +116,10 @@ def _head_kernel_4x(k: jnp.ndarray) -> jnp.ndarray:
 
 
 def lr_tail(
-    y: jnp.ndarray, params: Dict[str, Any], dtype: Any = jnp.float32
+    y: jnp.ndarray,
+    params: Dict[str, Any],
+    dtype: Any = jnp.float32,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Apply the 4x upsampling tail entirely at LR resolution.
 
@@ -134,9 +137,15 @@ def lr_tail(
     head = params["head_conv"]
     y = y.astype(dtype)
 
+    if mask is not None:
+        mask = mask.astype(dtype)
+
     # Stage 1: conv stays at LR verbatim; PReLU commutes with the shuffle.
     a1 = _conv(y, up0["conv"]["kernel"].astype(dtype), ((1, 1), (1, 1)))
     a1 = a1 + up0["conv"]["bias"].astype(dtype)
+    if mask is not None:
+        a1 = a1 * mask  # re-zero padding (the whole tail stays at LR, so
+        # one LR mask serves every stage; PReLU keeps zeros zero)
     alpha1 = up0["relu"]["alpha"].astype(dtype)
     a1 = jnp.where(a1 >= 0, a1, alpha1 * a1)  # [B, H, W, 4F]
 
@@ -148,6 +157,8 @@ def lr_tail(
         for (p, q), kp in k2
     ]
     a2 = jnp.concatenate(phases, axis=-1)  # [B, H, W, 16F], phase-major
+    if mask is not None:
+        a2 = a2 * mask
     alpha2 = up1["relu"]["alpha"].astype(dtype)
     a2 = jnp.where(a2 >= 0, a2, alpha2 * a2)
 
@@ -161,17 +172,26 @@ def lr_tail(
 
 
 def generator_apply_lr_tail(
-    model, variables: Dict[str, Any], x: jnp.ndarray
+    model, variables: Dict[str, Any], x: jnp.ndarray, valid_hw=None
 ) -> jnp.ndarray:
     """Drop-in for ``model.apply(variables, x)`` with the LR-domain tail.
 
     ``model`` is a Generator with scale_factor=4; the param tree is the
     canonical one (no conversion step — rearrangement happens in-graph).
+    ``valid_hw`` enables the exact zero-pad-masked forward (see
+    Generator.__call__); the tail runs at LR so the LR mask covers it whole.
     """
     if model.scale_factor != 4:
         raise ValueError(
             "lr_tail supports scale_factor=4 only "
             f"(got {model.scale_factor}); use the canonical forward"
         )
-    y = model.apply(variables, x, trunk_only=True)
-    return lr_tail(y, variables["params"], dtype=model.dtype)
+    y = model.apply(variables, x, trunk_only=True, valid_hw=valid_hw)
+    mask = None
+    if valid_hw is not None:
+        from fast_srgan_tpu.ops.norm import valid_mask_nhwc
+
+        mask, _ = valid_mask_nhwc(
+            y.shape[1], y.shape[2], valid_hw[0], valid_hw[1]
+        )
+    return lr_tail(y, variables["params"], dtype=model.dtype, mask=mask)

@@ -38,3 +38,46 @@ def instance_norm_nhwc(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     y = (x32 - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def instance_norm_masked_nhwc(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    count: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Instance norm over the valid region of a zero-padded frame.
+
+    ``mask`` is 1 on valid pixels, 0 on padding, shape [B, H, W, 1];
+    ``count`` = valid pixels per sample, [B, 1, 1, 1] fp32. Statistics are
+    computed over the masked input and divide by ``count`` — identical to
+    computing them on the unpadded frame (a preceding conv smears nonzero
+    values into a 1-px pad margin, so the mask inside the sums is load-
+    bearing) — and the output is re-masked so padding stays exactly zero
+    for the next convolution (zero padding there reproduces the conv
+    zero-pad semantics of the true image edge). This is what makes bucketed
+    ("pad to a shape grid") inference *exact* rather than approximate: see
+    inference.py and tests/test_masked.py.
+    """
+    x32 = x.astype(jnp.float32) * mask
+    s1 = jnp.sum(x32, axis=(1, 2), keepdims=True)
+    s2 = jnp.sum(jnp.square(x32), axis=(1, 2), keepdims=True)
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
+    y = (x32 - mean) * lax.rsqrt(var + eps) * mask
+    return y.astype(x.dtype)
+
+
+def valid_mask_nhwc(
+    h: int, w: int, valid_h: jnp.ndarray, valid_w: jnp.ndarray
+) -> tuple:
+    """Build ([B,H,W,1] fp32 mask, [B,1,1,1] fp32 count) from per-sample
+    valid sizes (int32 [B]) for a padded frame of static shape (h, w)."""
+    b = valid_h.shape[0]
+    iy = lax.broadcasted_iota(jnp.int32, (b, h, w, 1), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (b, h, w, 1), 2)
+    vh = valid_h.reshape(b, 1, 1, 1)
+    vw = valid_w.reshape(b, 1, 1, 1)
+    mask = ((iy < vh) & (ix < vw)).astype(jnp.float32)
+    count = (vh * vw).astype(jnp.float32)
+    return mask, count

@@ -71,7 +71,9 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument(
         "--bucket", default=0, type=int,
-        help="pad LR inputs to multiples of this (0 = exact shapes)",
+        help="zero-pad LR inputs to multiples of this to bound recompiles "
+        "on mixed-size directories; exact via the masked forward "
+        "(0 = one compiled program per distinct shape)",
     )
     parser.add_argument(
         "--fp32", action="store_true", help="fp32 compute (default bf16)"
