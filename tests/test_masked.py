@@ -152,3 +152,21 @@ class TestBucketedEngine:
             SRInferenceEngine(
                 params, n_filters=8, n_layers=1, bucket=16, use_pallas=True
             )
+
+
+class TestBucketedMeshEngine:
+    def test_masked_program_shards_over_mesh(self, rng):
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+
+        model = Generator(n_filters=8, n_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        kw = dict(n_filters=8, n_layers=1, dtype=jnp.float32)
+        single = SRInferenceEngine(params, **kw)
+        sharded = SRInferenceEngine(
+            params, bucket=16, mesh=make_mesh(8), **kw
+        )
+        batch = rng.integers(0, 256, (8, 10, 13, 3), dtype=np.uint8)
+        a = single.upscale_batch(batch)
+        b = sharded.upscale_batch(batch)
+        assert a.shape == b.shape == (8, 40, 52, 3)
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
