@@ -130,6 +130,21 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     names = list_image_files(args.image_dir)
     paths = [os.path.join(args.image_dir, n) for n in names]
+    if not args.bucket and not args.tile and len(names) > 1:
+        from PIL import Image
+
+        shapes = set()
+        for p in paths:
+            with Image.open(p) as im:  # header only, no decode
+                shapes.add(im.size)
+            if len(shapes) > 4:
+                print(
+                    f"note: >4 distinct image shapes — each compiles its own "
+                    f"program (~20-40s on TPU). --bucket 32 pads to a shape "
+                    f"grid instead; exact (masked statistics), "
+                    f"few-percent compute overhead."
+                )
+                break
     print(f"Found {len(names)} to super resolve, starting...")
     t0 = time.perf_counter()
     if args.tile > 0:
