@@ -155,12 +155,8 @@ class SRInferenceEngine:
 
         self._forward_u8_masked = _forward_u8_masked
 
-    def _put_batch(self, batch_u8) -> jnp.ndarray:
-        if self._batch_sharding is not None:
-            return jax.device_put(np.asarray(batch_u8), self._batch_sharding)
-        return jnp.asarray(batch_u8)
-
-    def _put_1d(self, arr) -> jnp.ndarray:
+    def _put_batch(self, arr) -> jnp.ndarray:
+        """Batch-dim-sharded device put (any rank with batch leading)."""
         if self._batch_sharding is not None:
             return jax.device_put(np.asarray(arr), self._batch_sharding)
         return jnp.asarray(arr)
@@ -171,20 +167,23 @@ class SRInferenceEngine:
         """[B, H, W, 3] uint8 -> [B, 4H, 4W, 3] uint8."""
         b, h, w, _ = batch_u8.shape
         if self.bucket:
+            # Always the masked program when bucketing — also for shapes
+            # already on the grid: _grouped_upscale compiles masked programs
+            # for every bucket shape, and a second unmasked compile of the
+            # same shape would cost another 20-240s through the TPU tunnel
+            # (and disagree in the last uint8 bit across the two APIs).
             ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
             if (ph, pw) != (h, w):
                 batch_u8 = np.pad(
                     batch_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
                 )
-                out = self._forward_u8_masked(
-                    self.params,
-                    self._put_batch(batch_u8),
-                    self._put_1d(np.full(b, h, np.int32)),
-                    self._put_1d(np.full(b, w, np.int32)),
-                )
-                return np.asarray(out)[
-                    :, : h * self.SCALE, : w * self.SCALE, :
-                ]
+            out = self._forward_u8_masked(
+                self.params,
+                self._put_batch(batch_u8),
+                self._put_batch(np.full(b, h, np.int32)),
+                self._put_batch(np.full(b, w, np.int32)),
+            )
+            return np.asarray(out)[:, : h * self.SCALE, : w * self.SCALE, :]
         out = self._forward_u8(self.params, self._put_batch(batch_u8))
         out = np.asarray(out)
         return out[:, : h * self.SCALE, : w * self.SCALE, :]
@@ -264,7 +263,7 @@ class SRInferenceEngine:
                     out = np.asarray(
                         self._forward_u8_masked(
                             self.params, self._put_batch(batch),
-                            self._put_1d(vh), self._put_1d(vw),
+                            self._put_batch(vh), self._put_batch(vw),
                         )
                     )
                     for j, i in enumerate(chunk):

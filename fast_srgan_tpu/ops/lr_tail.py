@@ -127,8 +127,12 @@ def lr_tail(
       y: trunk output [B, H, W, F] (Generator.__call__(..., trunk_only=True)).
       params: the Generator param tree (the ``"params"`` collection) — reads
         upsampling_0/, upsampling_1/, head_conv/ leaves unchanged; kernel
-        rearrangement happens here (cheap: a few hundred KB of scatters that
-        XLA hoists out of the conv hot path).
+        rearrangement happens in-graph. Note: params are jit inputs, so the
+        ~180 small scatters re-run every call — the price of a signature
+        that stays drop-in for ``model.apply``. An engine-level A/B against
+        host-precomputed kernels was indistinguishable from measurement
+        noise (the 315-FPS headline includes the scatters), so the simpler
+        form stays.
       dtype: compute dtype for the convolutions (params stay fp32).
 
     Returns [B, 4H, 4W, 3] in [-1, 1], numerically the canonical tail.

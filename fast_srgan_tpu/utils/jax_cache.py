@@ -23,9 +23,13 @@ def enable(directory: str | None = None) -> str:
     import jax
 
     platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    if platforms and all(
-        p.strip() == "cpu" for p in platforms.split(",") if p.strip()
-    ):
+    if platforms:
+        if all(p.strip() == "cpu" for p in platforms.split(",") if p.strip()):
+            return ""
+    elif jax.default_backend() == "cpu":
+        # Nothing configured and JAX auto-selected CPU (no accelerator):
+        # same SIGILL-risk scenario, same skip. Initializing the backend
+        # here is fine — the cache config only needs to precede compiles.
         return ""
     directory = (
         directory

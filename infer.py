@@ -134,7 +134,7 @@ def main(argv=None) -> None:
         from PIL import Image
 
         shapes = set()
-        for p in paths:
+        for p in paths[:512]:  # advisory only — don't rescan a huge dir
             with Image.open(p) as im:  # header only, no decode
                 shapes.add(im.size)
             if len(shapes) > 4:

@@ -33,3 +33,15 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def perturbed_init(model, x, seed=1):
+    """model.init + a small fixed perturbation: nudges params off init
+    symmetry (zero biases, equal PReLU slopes) so equivalence tests cannot
+    pass by accident on a degenerate function. Shared by test_lr_tail /
+    test_masked."""
+    v = model.init(jax.random.PRNGKey(0), x)
+    rng = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(a.dtype), v
+    )

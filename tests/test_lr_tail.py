@@ -14,14 +14,7 @@ from fast_srgan_tpu.models import Generator
 from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail, lr_tail
 
 
-def _perturbed_init(model, x, seed=1):
-    v = model.init(jax.random.PRNGKey(0), x)
-    # Nudge params off init symmetry (zero biases, equal alphas) so the test
-    # cannot pass by accident on a degenerate function.
-    rng = np.random.default_rng(seed)
-    return jax.tree.map(
-        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(a.dtype), v
-    )
+from conftest import perturbed_init as _perturbed_init
 
 
 class TestLRTailExactness:

@@ -24,12 +24,7 @@ from fast_srgan_tpu.ops.norm import (
 )
 
 
-def _perturbed_init(model, x, seed=1):
-    v = model.init(jax.random.PRNGKey(0), x)
-    rng = np.random.default_rng(seed)
-    return jax.tree.map(
-        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(a.dtype), v
-    )
+from conftest import perturbed_init as _perturbed_init
 
 
 class TestMaskedNorm:
