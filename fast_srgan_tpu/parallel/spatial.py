@@ -13,7 +13,11 @@ frame's width across the mesh and keep the computation EXACT:
     bucketing experiment in inference.py showed per-shard stats corrupt
     every pixel) -> local sum/sumsq are `lax.psum`'d across the axis so all
     shards normalize with the global statistics;
-  * pixel shuffle, PReLU, tanh are pointwise/local-in-width -> unchanged.
+  * pixel shuffle, PReLU, tanh are pointwise/local-in-width -> unchanged;
+  * the upsampling tail runs in the LR domain by default (ops/lr_tail.py
+    ported to sharded form, `_sharded_lr_tail`): the 2x/4x-resolution
+    tiles — the largest tensors of a 4K frame — are never materialized on
+    any shard, and the per-phase conv2x2s reuse the same one-column halos.
 
 The forward here is a pure-functional twin of models/generator.py operating
 on the same param pytree, with pluggable conv/norm so the identical code
@@ -48,36 +52,41 @@ def _n_stem(p: Dict[str, Any]) -> int:
     return len([k for k in p if k.startswith("stem_")])
 
 
+def _prelu(t, alpha):
+    a = alpha.astype(t.dtype)
+    return jnp.where(t >= 0, t, a * t)
+
+
 def generator_forward(
     p: Dict[str, Any],
     x: jnp.ndarray,
     conv: Callable,
     norm: Callable,
     dtype: Any = jnp.float32,
+    tail: Callable | None = None,
 ) -> jnp.ndarray:
     """The reference generator graph (model.py:112-117) over pluggable ops.
 
     `p` is the inner dict of the Flax param tree (params['params']).
     `conv(x, node)` applies a 3x3 stride-1 conv from a {'kernel', 'bias'?}
-    node; `norm(x)` is parameterless instance normalization.
+    node; `norm(x)` is parameterless instance normalization. `tail(p, y)`
+    replaces the canonical conv->shuffle upsampling tail when given (the
+    LR-domain tail below).
     """
-
-    def prelu(t, alpha):
-        a = alpha.astype(t.dtype)
-        return jnp.where(t >= 0, t, a * t)
-
     x = x.astype(dtype)
-    r = prelu(conv(x, p["neck_conv"]), p["neck_relu"]["alpha"])
+    r = _prelu(conv(x, p["neck_conv"]), p["neck_relu"]["alpha"])
     y = r
     for i in range(_n_stem(p)):
         blk = p[f"stem_{i}"]
-        t = prelu(norm(conv(y, blk["conv1"])), blk["relu1"]["alpha"])
+        t = _prelu(norm(conv(y, blk["conv1"])), blk["relu1"]["alpha"])
         y = norm(conv(t, blk["conv2"])) + y
     y = norm(conv(y, p["bottleneck_conv"])) + r
+    if tail is not None:
+        return tail(p, y)
     n_up = len([k for k in p if k.startswith("upsampling_")])
     for j in range(n_up):
         blk = p[f"upsampling_{j}"]
-        y = prelu(pixel_shuffle_nhwc(conv(y, blk["conv"]), 2), blk["relu"]["alpha"])
+        y = _prelu(pixel_shuffle_nhwc(conv(y, blk["conv"]), 2), blk["relu"]["alpha"])
     return jnp.tanh(conv(y, p["head_conv"]).astype(jnp.float32))
 
 
@@ -108,21 +117,8 @@ def _halo_conv(axis_name: str):
     """3x3 stride-1 conv with a 1-column halo exchange along sharded W."""
 
     def conv(x: jnp.ndarray, node: Dict[str, Any]) -> jnp.ndarray:
-        n = lax.axis_size(axis_name)
-        idx = lax.axis_index(axis_name)
-        # Send my rightmost column right; receive my left neighbor's.
-        from_left = lax.ppermute(
-            x[:, :, -1:, :], axis_name, [(i, (i + 1) % n) for i in range(n)]
-        )
-        # Send my leftmost column left; receive my right neighbor's.
-        from_right = lax.ppermute(
-            x[:, :, :1, :], axis_name, [(i, (i - 1) % n) for i in range(n)]
-        )
-        # Global frame edges use zero padding (torch Conv2d padding=1).
-        from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
-        from_right = jnp.where(
-            idx == n - 1, jnp.zeros_like(from_right), from_right
-        )
+        # Frame edges use zero padding (torch Conv2d padding=1).
+        from_left, from_right = _exchange_halo_cols(x, axis_name)
         xx = jnp.concatenate([from_left, x, from_right], axis=2)
         kernel = node["kernel"].astype(x.dtype)
         y = lax.conv_general_dilated(
@@ -134,6 +130,67 @@ def _halo_conv(axis_name: str):
         return y
 
     return conv
+
+
+def _exchange_halo_cols(x: jnp.ndarray, axis_name: str):
+    """One column each way along the sharded W axis; zeros at frame edges."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    from_left = lax.ppermute(
+        x[:, :, -1:, :], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    from_right = lax.ppermute(
+        x[:, :, :1, :], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
+    return from_left, from_right
+
+
+def _sharded_lr_tail(axis_name: str, dtype: Any):
+    """The LR-domain tail (ops/lr_tail.py) under width sharding.
+
+    The whole tail runs at LR resolution, so the 2x/4x-resolution tiles —
+    the largest tensors of a 4K frame — are never materialized on any shard.
+    The per-phase conv2x2s need a one-column halo on one side only (phase q
+    reads LR columns {w+q-1, w+q}); the zeroed frame-edge halo reproduces
+    exactly the asymmetric ((1-q), q) zero padding of the single-device
+    transform. The dense 16-phase head conv3x3 reuses the standard halo.
+    """
+    from fast_srgan_tpu.ops.lr_tail import (
+        _head_kernel_4x,
+        _phase_kernels_2x,
+    )
+
+    conv3 = _halo_conv(axis_name)
+
+    def tail(p: Dict[str, Any], y: jnp.ndarray) -> jnp.ndarray:
+        up0, up1 = p["upsampling_0"], p["upsampling_1"]
+
+        a1 = _prelu(conv3(y, up0["conv"]), up0["relu"]["alpha"])
+
+        fl, fr = _exchange_halo_cols(a1, axis_name)
+        xx = jnp.concatenate([fl, a1, fr], axis=2)  # [B, H, W+2, 4F]
+        w = a1.shape[2]
+        b2 = up1["conv"]["bias"].astype(a1.dtype)
+        phases = []
+        for (pp, q), kp in _phase_kernels_2x(up1["conv"]["kernel"]).items():
+            z = lax.conv_general_dilated(
+                xx[:, :, q : q + w + 1, :], kp.astype(a1.dtype), (1, 1),
+                padding=((1 - pp, pp), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            phases.append(z + b2)
+        a2 = _prelu(
+            jnp.concatenate(phases, axis=-1), up1["relu"]["alpha"]
+        )  # [B, H, W, 16F]
+
+        kd = _head_kernel_4x(p["head_conv"]["kernel"])
+        b48 = jnp.repeat(p["head_conv"]["bias"], 16)
+        z = conv3(a2, {"kernel": kd, "bias": b48})
+        return pixel_shuffle_nhwc(jnp.tanh(z.astype(jnp.float32)), 4)
+
+    return tail
 
 
 def _dist_instance_norm(axis_name: str, eps: float = 1e-5):
@@ -164,22 +221,29 @@ def build_tiled_forward(
     mesh: Mesh,
     axis_name: str = "sp",
     dtype: Any = jnp.bfloat16,
+    lr_tail: bool = True,
 ):
     """Jitted exact spatially-tiled generator forward over `mesh`.
 
     Returns fn(params, x) with x [B, H, W, 3] in [-1, 1]; W must be divisible
     by mesh.size (exactness requires no padding — instance norm is global).
+    With ``lr_tail`` (default, 4x checkpoints only — auto-falls back for
+    other stage counts) the upsampling tail runs at LR resolution per shard
+    (see _sharded_lr_tail); exactness is unchanged.
     """
     if len(mesh.axis_names) != 1:
         raise ValueError("spatial tiling expects a 1-D mesh")
     (mesh_axis,) = mesh.axis_names
 
     def sharded(p, x):
+        n_up = len([k for k in p if k.startswith("upsampling_")])
         return generator_forward(
             p, x,
             conv=_halo_conv(mesh_axis),
             norm=_dist_instance_norm(mesh_axis),
             dtype=dtype,
+            tail=_sharded_lr_tail(mesh_axis, dtype)
+            if (lr_tail and n_up == 2) else None,
         )
 
     mapped = jax.shard_map(

@@ -85,3 +85,21 @@ class TestTiledOtherScales:
         tiled = np.asarray(build_tiled_forward(mesh, dtype=jnp.float32)(params, x))
         assert tiled.shape == single.shape == (1, 32, 128, 3)
         np.testing.assert_allclose(tiled, single, atol=3e-5)
+
+
+class TestTiledLRTail:
+    def test_both_tail_modes_match_single_device(self, small_gen, rng):
+        # default (LR-domain tail per shard) and canonical tiled tail must
+        # both reproduce the single-device forward exactly.
+        model, params = small_gen
+        mesh = make_mesh(8, axis_name="sp")
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 12, 48, 3)).astype(np.float32))
+        single = np.asarray(model.apply(params, x))
+        lr = np.asarray(
+            build_tiled_forward(mesh, dtype=jnp.float32, lr_tail=True)(params, x)
+        )
+        canon = np.asarray(
+            build_tiled_forward(mesh, dtype=jnp.float32, lr_tail=False)(params, x)
+        )
+        np.testing.assert_allclose(lr, single, atol=3e-5)
+        np.testing.assert_allclose(canon, single, atol=3e-5)
