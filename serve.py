@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Batched HTTP super-resolution server.
+
+    python serve.py [--port 8000] [--checkpoint X.(pt|npz)] [--bucket 32]
+                    [--max_batch 8] [--max_wait_ms 5] [--fp32]
+
+    curl -s --data-binary @input.png http://127.0.0.1:8000/upscale > out.png
+    curl -s http://127.0.0.1:8000/healthz
+
+Concurrent requests are micro-batched onto the device (TPU throughput comes
+from batching); shape bucketing is ON by default so arbitrary client sizes
+share compiled programs and batches — exactly (masked forward). The
+reference has no serving surface (its inference.py is a one-shot CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fast_srgan_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    from fast_srgan_tpu.config import load_config
+    from fast_srgan_tpu.inference import SRInferenceEngine
+    from fast_srgan_tpu.serving import make_server
+    from infer import DEFAULT_CHECKPOINTS, load_generator_params
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", default=8000, type=int)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--config", default="configs/config.yaml")
+    parser.add_argument(
+        "--bucket", default=32, type=int,
+        help="shape-bucket granularity (exact; 0 disables = one compile "
+        "per distinct request size)",
+    )
+    parser.add_argument("--max_batch", default=8, type=int)
+    parser.add_argument(
+        "--max_wait_ms", default=5.0, type=float,
+        help="how long a request waits for batch-mates before dispatch",
+    )
+    parser.add_argument("--fp32", action="store_true")
+    args = parser.parse_args()
+
+    ckpt = args.checkpoint
+    if ckpt is None:
+        ckpt = next((c for c in DEFAULT_CHECKPOINTS if os.path.exists(c)), None)
+        if ckpt is None:
+            raise SystemExit(
+                "No checkpoint found; pass --checkpoint (searched: "
+                + ", ".join(DEFAULT_CHECKPOINTS) + ")"
+            )
+
+    config = load_config(args.config)
+    engine = SRInferenceEngine(
+        load_generator_params(ckpt),
+        n_filters=config.generator.n_filters,
+        n_layers=config.generator.n_layers,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        bucket=args.bucket,
+        scale_factor=config.data.scale_factor,
+    )
+    # Warm the common program shape before accepting traffic (first TPU
+    # compile is 20-240s; a cold-start request would eat it).
+    warm = np.zeros((1, args.bucket or 32, args.bucket or 32, 3), np.uint8)
+    engine.upscale_batch(warm)
+
+    server = make_server(
+        engine, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(bucket={args.bucket}, max_batch={args.max_batch})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
+if __name__ == "__main__":
+    main()
