@@ -1,6 +1,6 @@
 # Convenience targets for fast_srgan_tpu.
 
-.PHONY: native test bench smoke clean
+.PHONY: native test bench smoke serve clean
 
 # Build the native C++ crop-gather loader (also built lazily on first use).
 native:
@@ -23,6 +23,10 @@ smoke:
 	  training.pretrain_iterations=4 training.iterations=4 \
 	  training.batch_size=8 training.log_iter=2 training.checkpoint_iter=2 \
 	  training.bf16=false experiment.name=smoke
+
+# Batched HTTP serving daemon (see serve.py --help).
+serve:
+	python serve.py
 
 clean:
 	rm -f csrc/libfastsr_loader.so

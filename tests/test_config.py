@@ -65,3 +65,22 @@ class TestOverrides:
         assert c.a.b == 1
         with pytest.raises(AttributeError):
             _ = c.a.missing
+
+
+class TestActualReferenceConfig:
+    def test_mounted_reference_yaml_loads_verbatim(self):
+        # Not a synthetic copy: the reference repo's own config file must
+        # load unchanged (YAML-1.1 '1e-4' coerced to float, the unused
+        # training.device key tolerated, TPU defaults injected).
+        import os
+        path = "/root/reference/configs/config.yaml"
+        if not os.path.exists(path):
+            import pytest
+            pytest.skip("reference not mounted")
+        from fast_srgan_tpu.config import load_config
+        cfg = load_config(path)
+        assert cfg.generator.n_filters == 64 and cfg.generator.n_layers == 8
+        assert isinstance(cfg.training.generator_lr, float)
+        assert cfg.training.generator_lr == 1e-4
+        assert cfg.data.lr_image_size == 24 and cfg.data.scale_factor == 4
+        assert cfg.kernels.use_pallas is False  # injected default
