@@ -52,6 +52,11 @@ horizontal taps, wrap masks, lane concats) that XLA's conv emitter doesn't
 pay. Honest conclusion: XLA's v5e conv pipeline is within ~10% of a
 hand-written traffic-optimal kernel and fuses better across op boundaries —
 these kernels stay as the tested custom-kernel tier, not the default path.
+(Superseding context: the production inference path has since moved to the
+LR-domain tail — ops/lr_tail.py, an exact graph-level transform measured
+1.27x — which removes the pixel-shuffle stage this kernel fused. The
+campaign record above is kept as the measured evidence for why the custom
+kernels are a tier, not the default.)
 """
 
 from __future__ import annotations
@@ -213,12 +218,12 @@ def _fused_pallas(x, wt, bias2, alpha):
         _make_kernel(h, u, c4),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # packed x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # packed x in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wt [3,3,128,512]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias [1, 512]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha [1, 1]
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, u, c4), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((_ROW_SLOTS, u, 2 * c_in), x.dtype),
@@ -360,12 +365,12 @@ def _fused_pallas_v2(x, wt, bias2, alpha, R=_BLOCK_ROWS):
         _make_kernel_v2(h, u, c4, R),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, u, c4), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, R + 2, u, 2 * c_in), x.dtype),
@@ -519,12 +524,12 @@ def _fused_pallas_v3(x, wt, bias2, alpha, R=_BLOCK_ROWS):
         _make_kernel_v3(h, u, c4, R),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, u, c4), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 3, R + 2, u, 2 * c_in), x.dtype),

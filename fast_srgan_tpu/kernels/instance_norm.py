@@ -202,10 +202,10 @@ def _pallas_forward_chunked(
         _make_chunked_kernel(rows, chunk, c, hw),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, rows, _LANES), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, _LANES), x.dtype),

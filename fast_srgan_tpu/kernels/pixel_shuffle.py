@@ -111,8 +111,8 @@ def pixel_shuffle_phase_major_dma(x: jnp.ndarray) -> jnp.ndarray:
     out = pl.pallas_call(
         _make_dma_kernel(h),
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, w, 2 * c), x.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_DMA_LAG, 2))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
