@@ -336,7 +336,13 @@ class Trainer:
                 if isinstance(obj, (list, tuple)):
                     return type(obj)(torchify(v) for v in obj)
                 if isinstance(obj, np.ndarray):
-                    return torch.from_numpy(np.ascontiguousarray(obj))
+                    # copy: jax-donated buffers surface as non-writable numpy
+                    # views, which torch.from_numpy warns about (and writing
+                    # through the tensor would be UB).
+                    arr = np.ascontiguousarray(obj)
+                    if not arr.flags.writeable:
+                        arr = arr.copy()
+                    return torch.from_numpy(arr)
                 if isinstance(obj, np.floating):
                     return torch.tensor(float(obj))
                 return obj
