@@ -51,13 +51,18 @@ class TestGeneratorOptimizerInterop:
         weight_sd = generator_params_to_torch_state_dict(params)
         order = generator_torch_param_order(2)
         torch_params = [
-            torch.nn.Parameter(torch.from_numpy(np.ascontiguousarray(weight_sd[k])))
+            torch.nn.Parameter(torch.from_numpy(np.ascontiguousarray(weight_sd[k]).copy()))
             for k in order
         ]
         opt = torch.optim.AdamW(torch_params, lr=1e-4)
         sd_t = {
             "state": {
-                i: {k2: torch.as_tensor(v2) for k2, v2 in s.items()}
+                i: {
+                    k2: torch.as_tensor(
+                        v2.copy() if isinstance(v2, np.ndarray) else v2
+                    )
+                    for k2, v2 in s.items()
+                }
                 for i, s in sd["state"].items()
             },
             "param_groups": sd["param_groups"],
