@@ -1,0 +1,122 @@
+"""VGG19 feature extractor: numerical parity with the torch graph, and the
+training.vgg_weights config path end-to-end.
+
+The reference's perceptual loss runs torchvision ``vgg19().features[:34]``
+on [-1,1] inputs after ImageNet normalization (reference model.py:5-23).
+ImageNet weights are not available in this environment (no egress), so the
+oracle uses a *synthetic* torchvision-layout state_dict — parity of the
+computation graph and the weight conversion is what's under test, and it
+holds for any weights.
+"""
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from fast_srgan_tpu.checkpoints.torch_compat import (
+    vgg19_params_from_torch_state_dict,
+)
+from fast_srgan_tpu.models.vgg import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    VGG19_FEATURES_34_PLAN,
+    VGG19Features,
+)
+
+
+def synthetic_torch_vgg_sd(seed=0):
+    """Random torchvision-layout `features.{idx}.weight/bias` state_dict."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    idx, c_in = 0, 3
+    for item in VGG19_FEATURES_34_PLAN:
+        if item == "M":
+            idx += 1  # the pool layer occupies an index
+            continue
+        # conv at `idx`, relu at `idx+1`
+        sd[f"features.{idx}.weight"] = (
+            rng.standard_normal((item, c_in, 3, 3)) * np.sqrt(2.0 / (c_in * 9))
+        ).astype(np.float32)
+        sd[f"features.{idx}.bias"] = (
+            rng.standard_normal(item) * 0.01
+        ).astype(np.float32)
+        idx += 2
+        c_in = item
+    return sd
+
+
+def torch_vgg_forward(sd, x_nchw: torch.Tensor) -> torch.Tensor:
+    """features[:34] oracle on [-1,1] input (reference model.py:17-22)."""
+    mean = torch.tensor(IMAGENET_MEAN, dtype=torch.float32).view(1, 3, 1, 1)
+    std = torch.tensor(IMAGENET_STD, dtype=torch.float32).view(1, 3, 1, 1)
+    x = ((x_nchw.float() + 1.0) / 2.0 - mean) / std
+    idx = 0
+    for item in VGG19_FEATURES_34_PLAN:
+        if item == "M":
+            x = F.max_pool2d(x, 2, 2)
+            idx += 1
+            continue
+        x = F.relu(
+            F.conv2d(
+                x,
+                torch.from_numpy(sd[f"features.{idx}.weight"]),
+                torch.from_numpy(sd[f"features.{idx}.bias"]),
+                padding=1,
+            )
+        )
+        idx += 2
+    return x
+
+
+class TestVGGParity:
+    def test_converted_weights_match_torch_graph(self, rng):
+        sd = synthetic_torch_vgg_sd()
+        params = vgg19_params_from_torch_state_dict(sd)
+        x = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+
+        ours = VGG19Features().apply(params, jnp.asarray(x))
+        want = torch_vgg_forward(
+            sd, torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).permute(0, 2, 3, 1).numpy()
+
+        assert ours.shape == want.shape == (1, 2, 2, 512)
+        np.testing.assert_allclose(np.asarray(ours), want, atol=2e-4)
+
+    def test_gan_step_uses_vgg_weights_file(self, tmp_path, rng):
+        # training.vgg_weights end to end: a .pth file changes the content
+        # loss away from the pixel-space fallback and the step stays finite.
+        sd = synthetic_torch_vgg_sd()
+        path = tmp_path / "vgg19.pth"
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(path))
+
+        from fast_srgan_tpu.config import default_config
+        from fast_srgan_tpu.train.steps import build_bundle
+
+        kw = dict(
+            data={"lr_image_size": 8},
+            generator={"n_filters": 8, "n_layers": 1},
+            discriminator={"n_filters": 8},
+            training={"batch_size": 2, "bf16": False},
+        )
+        cfg_vgg = default_config(**{
+            **kw, "training": dict(kw["training"], vgg_weights=str(path)),
+        })
+        cfg_pix = default_config(**kw)
+
+        batch = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        key = jax.random.key(0)
+        losses = {}
+        for name, cfg in [("vgg", cfg_vgg), ("pixel", cfg_pix)]:
+            bundle, g, d, vgg_params = build_bundle(cfg)
+            g, d, metrics = bundle.gan_step(
+                g, d, vgg_params, jnp.asarray(batch), key
+            )
+            for k, v in metrics.items():
+                assert np.isfinite(float(v)), (name, k)
+            losses[name] = float(metrics["content_loss"])
+        # perceptual features change the content term
+        assert losses["vgg"] != pytest.approx(losses["pixel"])
