@@ -167,6 +167,7 @@ def _sharded_lr_tail(axis_name: str, dtype: Any):
     def tail(p: Dict[str, Any], y: jnp.ndarray) -> jnp.ndarray:
         up0, up1 = p["upsampling_0"], p["upsampling_1"]
 
+        y = y.astype(dtype)
         a1 = _prelu(conv3(y, up0["conv"]), up0["relu"]["alpha"])
 
         fl, fr = _exchange_halo_cols(a1, axis_name)

@@ -54,17 +54,33 @@ class MicroBatcher:
     to join the batch up to ``max_batch``.
     """
 
-    def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0):
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        request_timeout: float = 600.0,
+    ):
+        # request_timeout must exceed the worst-case first TPU compile of a
+        # new bucket shape (~240s through this environment's tunnel) plus
+        # queueing; a timeout below that turns valid cold-shape requests
+        # into spurious 500s while the device still computes the result.
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.request_timeout = request_timeout
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, timeout: float = 120.0) -> np.ndarray:
+    def submit(
+        self, image: np.ndarray, timeout: Optional[float] = None
+    ) -> np.ndarray:
+        if self._stop.is_set():
+            raise RuntimeError("server is shutting down")
+        timeout = self.request_timeout if timeout is None else timeout
         item = _Pending(image)
         self.queue.put(item)
         if not item.done.wait(timeout):
@@ -76,7 +92,18 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self.queue.put(None)  # type: ignore[arg-type]
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=30)
+        # Fail any requests still queued behind the sentinel (or submitted
+        # in the shutdown race) instead of leaving their handler threads
+        # blocked until the request timeout.
+        while True:
+            try:
+                item = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.error = RuntimeError("server shut down")
+                item.done.set()
 
     def _worker(self) -> None:
         while not self._stop.is_set():
@@ -98,9 +125,21 @@ class MicroBatcher:
                     break
                 batch.append(nxt)
             try:
+                # Pad to max_batch so serving traffic only ever compiles ONE
+                # program per bucket shape (a 1..max_batch-sized batch would
+                # otherwise each be a fresh 20-240s TPU compile mid-traffic).
+                images = [it.image for it in batch]
+                pad = self.max_batch - len(images)
+                if pad > 0:
+                    images.extend([images[-1]] * pad)
                 outs = self.engine.upscale_images(
-                    [it.image for it in batch], batch_size=self.max_batch
+                    images, batch_size=self.max_batch
                 )
+                if len(outs) != len(images):
+                    raise RuntimeError(
+                        f"engine returned {len(outs)} outputs for "
+                        f"{len(images)} images"
+                    )
                 for it, out in zip(batch, outs):
                     it.result = out
             except Exception as e:  # surface to every waiter in the batch
@@ -120,6 +159,7 @@ def make_server(
     port: int = 8000,
     max_batch: int = 8,
     max_wait_ms: float = 5.0,
+    max_body_bytes: int = 64 * 1024 * 1024,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; `.batcher` is attached for reuse.
 
@@ -159,6 +199,11 @@ def make_server(
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_body_bytes:
+                    self._json(
+                        413, {"error": f"body over {max_body_bytes} bytes"}
+                    )
+                    return
                 raw = self.rfile.read(length)
                 img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
             except Exception as e:

@@ -111,3 +111,72 @@ class TestMicroBatcher:
             assert b.stats["errors"] == 1
         finally:
             b.close()
+
+
+class TestHardening:
+    def test_batches_padded_to_max_batch(self):
+        seen = []
+
+        class Spy:
+            def upscale_images(self, images, batch_size):
+                seen.append(len(images))
+                return [im.repeat(4, 0).repeat(4, 1) for im in images]
+
+        b = MicroBatcher(Spy(), max_batch=4, max_wait_ms=1.0)
+        try:
+            out = b.submit(np.zeros((4, 4, 3), np.uint8))
+            assert out.shape == (16, 16, 3)
+            # one real request -> device batch padded to max_batch, so every
+            # bucket shape compiles exactly one program signature
+            assert seen == [4]
+            assert b.stats["requests"] == 1
+        finally:
+            b.close()
+
+    def test_close_fails_queued_requests_fast(self):
+        import time as _time
+
+        class Slow:
+            def upscale_images(self, images, batch_size):
+                _time.sleep(0.5)
+                return list(images)
+
+        b = MicroBatcher(Slow(), max_batch=1, max_wait_ms=0.0)
+        results = {}
+
+        def call(name):
+            try:
+                results[name] = b.submit(np.zeros((2, 2, 3), np.uint8))
+            except Exception as e:
+                results[name] = e
+
+        t1 = threading.Thread(target=call, args=("a",))
+        t1.start()
+        import time as _t
+        _t.sleep(0.1)  # worker is now inside the slow engine call
+        t2 = threading.Thread(target=call, args=("b",))
+        t2.start()
+        _t.sleep(0.1)  # b is queued behind the in-flight batch
+        b.close()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert isinstance(results["a"], np.ndarray)  # in-flight completes
+        assert isinstance(results["b"], RuntimeError)  # queued fails fast
+
+    def test_oversized_body_413(self, engine):
+        srv = make_server(
+            engine, host="127.0.0.1", port=0, max_body_bytes=1024
+        )
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.server_address[1]}/upscale",
+                data=b"x" * 4096,
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 413
+        finally:
+            srv.shutdown()
+            srv.batcher.close()
