@@ -161,19 +161,38 @@ def _parse_value(text: str) -> Any:
 
 
 def apply_overrides(config: ConfigNode, overrides: Iterable[str]) -> ConfigNode:
-    """Apply hydra-style ``a.b.c=value`` overrides in place."""
+    """Apply hydra-style ``a.b.c=value`` overrides in place.
+
+    Hydra semantics for unknown keys: overriding a path that does not exist
+    in the config is an error (a typo would otherwise silently train with
+    defaults); prefix with ``+`` to add a new key, and ``hydra.*`` keys are
+    always accepted (the reference exposes e.g. ``hydra.run.dir`` —
+    train.py honors it by chdir'ing, matching Hydra 1.1).
+    """
     for item in overrides:
         if "=" not in item:
             raise ValueError(
                 f"Override {item!r} is not of the form key.path=value"
             )
         path, _, raw = item.partition("=")
-        keys = path.strip().lstrip("+").split(".")
+        stripped = path.strip()
+        additive = stripped.startswith("+") or stripped.startswith("hydra.")
+        keys = stripped.lstrip("+").split(".")
         node: Any = config
         for key in keys[:-1]:
             if key not in node or not isinstance(node[key], ConfigNode):
+                if not additive:
+                    raise KeyError(
+                        f"Unknown config section {key!r} in override "
+                        f"{item!r} (prefix with '+' to add new keys)"
+                    )
                 node[key] = ConfigNode()
             node = node[key]
+        if not additive and keys[-1] not in node:
+            raise KeyError(
+                f"Unknown config key {stripped!r} in override {item!r} "
+                "(prefix with '+' to add new keys)"
+            )
         node[keys[-1]] = _parse_value(raw)
     return config
 

@@ -51,10 +51,20 @@ class TestOverrides:
         assert c.experiment.name == "run2"
         assert c.training.bf16 is False
 
-    def test_new_key_creation(self):
+    def test_new_key_requires_plus_prefix(self):
+        # Hydra semantics: unknown keys are typos unless explicitly added.
         c = default_config()
-        apply_overrides(c, ["extra.nested.key=3"])
+        apply_overrides(c, ["+extra.nested.key=3"])
         assert c.extra.nested.key == 3
+        with pytest.raises(KeyError, match="Unknown config"):
+            apply_overrides(default_config(), ["extr.nested.key=3"])
+        with pytest.raises(KeyError, match="Unknown config"):
+            apply_overrides(default_config(), ["training.batch_sze=8"])
+
+    def test_hydra_keys_always_accepted(self):
+        c = default_config()
+        apply_overrides(c, ["hydra.run.dir=/tmp/x"])
+        assert c.hydra.run.dir == "/tmp/x"
 
     def test_malformed_override_raises(self):
         with pytest.raises(ValueError, match="key.path=value"):

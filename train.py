@@ -42,6 +42,20 @@ def main(argv=None) -> None:
         return
     config = load_config("configs/config.yaml", overrides=argv)
 
+    # Hydra-1.1 parity: honor hydra.run.dir by chdir'ing into it, so all
+    # relative paths (runs/..., checkpoints) land inside the run dir — the
+    # reference behaves this way for every run (SURVEY.md §2.6). Unlike
+    # Hydra we do NOT chdir by default; pass the key to opt in.
+    try:
+        run_dir = config["hydra"]["run"]["dir"]
+    except (KeyError, TypeError):
+        run_dir = None
+    if run_dir:
+        import os
+
+        os.makedirs(run_dir, exist_ok=True)
+        os.chdir(run_dir)
+
     if config.parallel.multihost:
         # DCN bring-up: after this, jax.devices() spans all hosts and the
         # same mesh/sharding code below runs the global program (SPMD).
