@@ -26,6 +26,8 @@ __all__ = [
     "SRInferenceEngine",
     "Trainer",
     "load_config",
+    "make_server",
+    "tiled_upscale_u8",
 ]
 
 
@@ -46,4 +48,12 @@ def __getattr__(name):  # lazy top-level API (keeps bare import light)
         from fast_srgan_tpu.config import load_config
 
         return load_config
+    if name == "make_server":
+        from fast_srgan_tpu.serving import make_server
+
+        return make_server
+    if name == "tiled_upscale_u8":
+        from fast_srgan_tpu.parallel.spatial import tiled_upscale_u8
+
+        return tiled_upscale_u8
     raise AttributeError(name)
