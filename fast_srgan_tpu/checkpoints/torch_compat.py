@@ -49,6 +49,10 @@ _DTYPES = {
     "HalfStorage": np.float16,
     "LongStorage": np.int64,
     "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
     "BFloat16Storage": None,  # handled specially
 }
 
@@ -86,7 +90,13 @@ class _TorchUnpickler(pickle.Unpickler):
 
     def _rebuild_tensor(self, storage, storage_offset, size, stride, *args):
         storage_type, key = storage
-        np_dtype = _DTYPES.get(storage_type)
+        if storage_type not in _DTYPES:
+            # np.frombuffer(dtype=None) would silently reinterpret the raw
+            # bytes as float64 (8x wrong itemsize) — fail loudly instead.
+            raise ValueError(
+                f"unsupported torch storage type {storage_type!r}"
+            )
+        np_dtype = _DTYPES[storage_type]
         raw = self._zf.read(f"{self._prefix}/data/{key}")
         if storage_type == "BFloat16Storage":
             u16 = np.frombuffer(raw, dtype=np.uint16)
@@ -109,7 +119,15 @@ class _TorchUnpickler(pickle.Unpickler):
 def read_torch_pickle(path: str) -> Dict[str, np.ndarray]:
     """Read a torch zip checkpoint into {key: np.ndarray} without torch."""
     with zipfile.ZipFile(path) as zf:
-        pkl_name = next(n for n in zf.namelist() if n.endswith("/data.pkl"))
+        pkl_name = next(
+            (n for n in zf.namelist() if n.endswith("/data.pkl")), None
+        )
+        if pkl_name is None:
+            raise ValueError(
+                f"{path!r} is not a torch zip checkpoint (no */data.pkl "
+                "entry; legacy non-zip .pt files are not supported by the "
+                "torch-free reader)"
+            )
         prefix = pkl_name[: -len("/data.pkl")]
         with zf.open(pkl_name) as f:
             data = _TorchUnpickler(io.BytesIO(f.read()), zf, prefix).load()
@@ -122,7 +140,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         import torch  # noqa: PLC0415
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
-        return {k: v.numpy() for k, v in sd.items()}
+        # tensor.numpy() raises for bf16 (numpy has no bfloat16): widen to
+        # fp32 first — same values the raw reader's bf16 path produces.
+        return {
+            k: (
+                v.float().numpy()
+                if v.dtype == torch.bfloat16 else v.numpy()
+            )
+            for k, v in sd.items()
+        }
     except ImportError:
         return read_torch_pickle(path)
 

@@ -28,13 +28,22 @@ def _build() -> Optional[str]:
     with _build_lock:
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
             return _LIB
+        # Compile to a per-process temp name and os.rename (atomic on POSIX):
+        # the lock only covers threads, and concurrent *processes* racing on
+        # the same -o target could dlopen a half-written .so.
+        tmp = f"{_LIB}.tmp.{os.getpid()}"
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 "-o", _LIB, _SRC, "-lpthread"],
+                 "-o", tmp, _SRC, "-lpthread"],
                 check=True, capture_output=True, timeout=120,
             )
-        except (subprocess.SubprocessError, FileNotFoundError):
+            os.replace(tmp, _LIB)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     return _LIB
 

@@ -26,10 +26,15 @@ def _decode_frames(
     path: str, frame_queue: queue.Queue, limit: Optional[int],
     stop: threading.Event,
 ) -> None:
-    import cv2
-
-    cap = cv2.VideoCapture(path)
+    # The import and capture-open live INSIDE the try: if either fails
+    # (no opencv, corrupt backend), the finally must still enqueue the
+    # None sentinel or the consumer blocks forever on q.get().
+    cap = None
+    error = None
     try:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
         n = 0
         while cap.isOpened() and not stop.is_set():
             if limit is not None and n >= limit:
@@ -48,11 +53,15 @@ def _decode_frames(
                 except queue.Full:
                     continue
             n += 1
+    except BaseException as e:  # surfaced to the consumer, not swallowed
+        error = e
     finally:
-        cap.release()
+        if cap is not None:
+            cap.release()
+        sentinel = error if error is not None else None
         while True:
             try:
-                frame_queue.put(None, timeout=0.1)
+                frame_queue.put(sentinel, timeout=0.1)
                 break
             except queue.Full:
                 if stop.is_set():
@@ -72,6 +81,8 @@ def iter_video_frames(path: str, limit: Optional[int] = None) -> Iterator[np.nda
             frame = q.get()
             if frame is None:
                 break
+            if isinstance(frame, BaseException):
+                raise frame  # decoder-thread failure (e.g. missing opencv)
             yield frame
     finally:
         stop.set()  # runs on GeneratorExit too (abandoned consumer)
@@ -98,8 +109,11 @@ def upscale_video(
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     cap.release()
 
+    # Writer size must match the engine's scale exactly: cv2 silently DROPS
+    # wrong-sized frames (an empty output that still reports success).
+    s = engine.SCALE
     writer = cv2.VideoWriter(
-        output_path, cv2.VideoWriter_fourcc(*codec), fps, (4 * w, 4 * h)
+        output_path, cv2.VideoWriter_fourcc(*codec), fps, (s * w, s * h)
     )
     if not writer.isOpened():
         raise RuntimeError(f"cannot open video writer: {output_path}")

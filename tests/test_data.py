@@ -143,3 +143,38 @@ class TestPrefetchDeadlockRegression:
         assert len(resumed) == 4
         for x, y in zip(full[6:], resumed):
             np.testing.assert_array_equal(x, y)
+
+
+class TestCacheCompleteness:
+    def test_interrupted_cache_is_rebuilt(self, dataset, tmp_path):
+        # Regression: a partial cache (interrupted first run: some .npy
+        # files, no completeness sentinel) previously passed the "any .npy"
+        # check forever, silently training on a subset.
+        img_dir, _ = dataset
+        target = str(tmp_path / "partial")
+        os.makedirs(target)
+        np.save(os.path.join(target, "0.npy"), np.zeros((8, 8, 3), np.uint8))
+        ensure_numpy_cache(img_dir, target)
+        assert len(list_numpy_files(target)) == 5
+        assert os.path.exists(os.path.join(target, ".complete"))
+
+    def test_complete_cache_not_rebuilt(self, dataset, tmp_path):
+        img_dir, _ = dataset
+        target = str(tmp_path / "full")
+        ensure_numpy_cache(img_dir, target)
+        first = {f: os.path.getmtime(f) for f in list_numpy_files(target)}
+        ensure_numpy_cache(img_dir, target)  # must be a no-op
+        assert {f: os.path.getmtime(f) for f in list_numpy_files(target)} == first
+
+    def test_extension_collisions_get_unique_names(self, tmp_path):
+        # 0001.png + 0001.jpg previously raced onto the same 0001.npy.
+        img_dir = str(tmp_path / "imgs")
+        os.makedirs(img_dir)
+        rng = np.random.default_rng(0)
+        for ext in ("png", "jpg"):
+            Image.fromarray(
+                rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            ).save(os.path.join(img_dir, f"0001.{ext}"))
+        target = str(tmp_path / "cache")
+        ensure_numpy_cache(img_dir, target)
+        assert len(list_numpy_files(target)) == 2

@@ -105,3 +105,25 @@ class TestNumericalParity:
         theirs = theirs.numpy().transpose(0, 2, 3, 1)
 
         np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-5)
+
+
+class TestReaderRobustness:
+    def test_non_torch_zip_clear_error(self, tmp_path):
+        import zipfile
+
+        path = str(tmp_path / "not_torch.pt")
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("something.txt", "hello")
+        with pytest.raises(ValueError, match="not a torch zip"):
+            read_torch_pickle(path)
+
+    def test_bf16_checkpoint_loads_via_torch_path(self, tmp_path):
+        # tensor.numpy() raises for bf16; the loader must widen to fp32
+        # (matching the torch-free reader's bf16 decode).
+        w = torch.randn(4, 3).bfloat16()
+        path = str(tmp_path / "bf16.pt")
+        torch.save({"w": w}, path)
+        sd = load_torch_state_dict(path)
+        np.testing.assert_allclose(sd["w"], w.float().numpy())
+        raw = read_torch_pickle(path)
+        np.testing.assert_allclose(raw["w"], sd["w"])

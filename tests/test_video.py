@@ -57,3 +57,27 @@ class TestVideo:
         engine = SRInferenceEngine(params, n_filters=8, n_layers=1)
         with pytest.raises(FileNotFoundError):
             upscale_video(engine, str(tmp_path / "nope.mp4"), str(tmp_path / "o.mp4"))
+
+
+class TestScale2Video:
+    def test_writer_matches_engine_scale(self, tiny_video, tmp_path):
+        # Regression: the writer was hardcoded to 4x — cv2 silently drops
+        # wrong-sized frames, so a scale-2 engine produced an empty video
+        # that still reported success.
+        model = Generator(n_filters=8, n_layers=1, scale_factor=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32,
+            scale_factor=2,
+        )
+        out_path = str(tmp_path / "out2x.mp4")
+        stats = upscale_video(engine, tiny_video, out_path, batch_size=4)
+        assert stats["frames"] == 9
+        cap = cv2.VideoCapture(out_path)
+        ok, frame = cap.read()
+        assert ok and frame.shape == (32, 64, 3)
+        n = 1
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 9
