@@ -60,7 +60,19 @@ class SRInferenceEngine:
         1.27x end-to-end on v5e (71.9 -> 56.8 ms per 16x180x320 batch) with
         bf16-reassociation-level output differences only. Default (None):
         on when scale_factor == 4 and the Pallas tier is off.
+      pixel_budget: max total LR pixels per compiled batch *per device*.
+        Bounds activation memory: at 4x the widest intermediate holds
+        ~2 KiB per LR pixel (the 64-ch 4x-res map, or the LR tail's
+        1024-ch LR map), and v5e compiles/runs 3.96 Mpx (540x960 x8) but
+        fails to allocate 7.4 Mpx (720x1280 x8). Batch sizes are derived
+        from this via :meth:`effective_batch_size`.
     """
+
+    # Measured on v5e (docs/DESIGN.md "Batch-size anatomy"): compiled batch
+    # sizes 2..7 lower to a conv strategy that wastes MXU sublanes — 200-320
+    # ns/LR-pixel at every shape tested, vs ~100 at batch 1 and 55-77 at
+    # batch >= 8. So the engine only ever compiles batch 1 or batch >= 8.
+    PIXEL_BUDGET = 4_200_000
 
     def __init__(
         self,
@@ -73,7 +85,11 @@ class SRInferenceEngine:
         mesh=None,
         scale_factor: int = 4,
         lr_tail: bool | None = None,
+        pixel_budget: int | None = None,
     ):
+        self.pixel_budget = (
+            self.PIXEL_BUDGET if pixel_budget is None else pixel_budget
+        )
         self.SCALE = scale_factor
         self.model = Generator(
             n_filters=n_filters, n_layers=n_layers, dtype=dtype,
@@ -161,11 +177,50 @@ class SRInferenceEngine:
             return jax.device_put(np.asarray(arr), self._batch_sharding)
         return jnp.asarray(arr)
 
+    # -- batch-size policy ----------------------------------------------------
+
+    def effective_batch_size(self, h: int, w: int, requested: int = 8) -> int:
+        """The batch size the engine actually compiles for an HxW LR frame.
+
+        Two measured v5e constraints (see class docstring / PIXEL_BUDGET
+        note): (a) never compile batch 2..7 — pad up to 8 or drop to 1;
+        (b) cap total LR pixels per device at `pixel_budget` so the widest
+        intermediate fits HBM (e.g. 720x1280 frames force batch 1). With a
+        mesh, the policy applies to the per-device shard and the result is
+        the global batch (a multiple of the mesh size).
+        """
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        per_req = max(1, requested // n_dev)
+        cap = max(1, self.pixel_budget // max(1, h * w))
+        per = max(1, min(per_req, cap))
+        if 2 <= per <= 7:
+            per = 8 if cap >= 8 else 1
+        return per * n_dev
+
     # -- core ---------------------------------------------------------------
 
     def upscale_batch(self, batch_u8: np.ndarray) -> np.ndarray:
-        """[B, H, W, 3] uint8 -> [B, 4H, 4W, 3] uint8."""
+        """[B, H, W, 3] uint8 -> [B, 4H, 4W, 3] uint8.
+
+        Compiled batch sizes follow :meth:`effective_batch_size`: an input
+        batch of 2..7 runs zero-padded to the compiled size (instance norm
+        is per-sample, so padding samples cannot affect real ones), and a
+        batch larger than the per-device pixel budget is split into chunks.
+        """
         b, h, w, _ = batch_u8.shape
+        eff = self.effective_batch_size(h, w, b)
+        if b != eff:
+            if b < eff:  # pad 2..7 up to the compiled batch (8 per device)
+                pad = eff - b
+                padded = np.concatenate([batch_u8, batch_u8[-1:].repeat(pad, 0)])
+                return self.upscale_batch(padded)[:b]
+            # over budget: split into chunks the device can hold
+            return np.concatenate(
+                [
+                    self.upscale_batch(batch_u8[i : i + eff])
+                    for i in range(0, b, eff)
+                ]
+            )
         if self.bucket:
             # Always the masked program when bucketing — also for shapes
             # already on the grid: _grouped_upscale compiles masked programs
@@ -240,8 +295,17 @@ class SRInferenceEngine:
             )
             order.setdefault(key, []).append(i)
         for (ph, pw), idxs in order.items():
-            for start in range(0, len(idxs), batch_size):
-                chunk = idxs[start : start + batch_size]
+            eff = self.effective_batch_size(ph, pw, batch_size)
+            for start in range(0, len(idxs), eff):
+                chunk = idxs[start : start + eff]
+                # Compiled batch per effective_batch_size: a lone image uses
+                # the batch-1 program; any other chunk is padded to `eff`
+                # (both avoids the pathological 2..7 batch lowerings and
+                # reuses the full-chunk program for trailing partials).
+                compiled = (
+                    1 if len(chunk) == 1 and len(idxs) <= eff else eff
+                )
+                pad = compiled - len(chunk)
                 if self.bucket:
                     imgs = []
                     for i in chunk:
@@ -253,8 +317,7 @@ class SRInferenceEngine:
                     batch = np.stack(imgs)
                     vh = np.array([sizes[i][0] for i in chunk], np.int32)
                     vw = np.array([sizes[i][1] for i in chunk], np.int32)
-                    if len(chunk) < batch_size and len(idxs) > batch_size:
-                        pad = batch_size - len(chunk)
+                    if pad:
                         batch = np.concatenate(
                             [batch, batch[-1:].repeat(pad, 0)]
                         )
@@ -271,8 +334,7 @@ class SRInferenceEngine:
                         yield i, out[j, : h * self.SCALE, : w * self.SCALE]
                 else:
                     batch = np.stack([take(i) for i in chunk])
-                    if len(chunk) < batch_size and len(idxs) > batch_size:
-                        pad = batch_size - len(chunk)
+                    if pad:
                         batch = np.concatenate(
                             [batch, batch[-1:].repeat(pad, 0)]
                         )
@@ -289,6 +351,11 @@ class SRInferenceEngine:
         enqueue batch t+1 while the device runs batch t — the reference's
         blocking `.cpu()` per frame (inference.py:53) is the anti-pattern this
         replaces.
+
+        The compiled batch follows :meth:`effective_batch_size` for the
+        stream's frame size: e.g. 540x960 (4K-output) frames stream at
+        batch 8 (32.7 fps/chip measured), while 720x1280 frames drop to
+        batch 1 because batch 8 exceeds the device pixel budget.
         """
         pending: List[Tuple[int, jnp.ndarray]] = []
         buf: List[np.ndarray] = []
@@ -306,7 +373,13 @@ class SRInferenceEngine:
             out = self._forward_u8(self.params, self._put_batch(batch))
             pending.append((valid, out))
 
+        first = True
         for frame in frames:
+            if first:  # fix the compiled batch from the stream's frame size
+                batch_size = self.effective_batch_size(
+                    frame.shape[0], frame.shape[1], batch_size
+                )
+                first = False
             buf.append(frame)
             if len(buf) == batch_size:
                 flush()

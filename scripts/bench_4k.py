@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""4K benchmark: 540x960 -> 2160x3840, latency and streaming throughput.
+
+Measures the production path (bf16 + LR-domain tail) at the two batch
+points the engine's policy actually uses for this frame size
+(SRInferenceEngine.effective_batch_size):
+
+  * batch 1 — single-frame latency (strict: block on every frame, so the
+    dev tunnel's per-dispatch RTT is included; device time is lower);
+  * batch 8 — streaming throughput with a bounded in-flight window (the
+    checksum completion protocol from bench.py — see its docstring for why
+    output fetch is excluded through the dev tunnel).
+
+Batches 2..7 are deliberately absent: measured 200-320 ns/LR-px vs 59 at
+batch 8 (the XLA conv lowering wastes MXU sublanes — docs/DESIGN.md
+"Batch-size anatomy"), and batch 8 at 720x1280 LR exceeds HBM. v5e
+measured: 77 ms strict latency (13 fps), 30.6 ms/frame streaming
+(32.7 fps) — real-time 4K output per chip.
+
+Usage: python scripts/bench_4k.py  [BENCH_FRAMES=64]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fast_srgan_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from __graft_entry__ import entry  # noqa: E402
+from fast_srgan_tpu.models import Generator  # noqa: E402
+from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail  # noqa: E402
+
+H, W = 540, 960
+
+
+def main() -> None:
+    frames = int(os.environ.get("BENCH_FRAMES", "64"))
+    _, (params, _) = entry()
+    params = jax.device_put(params)
+    model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward(params, x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+        sr = generator_apply_lr_tail(model, params, x)
+        out = jnp.clip((sr + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+        return out, jnp.sum(out.astype(jnp.int32))
+
+    rng = np.random.default_rng(0)
+
+    # --- strict single-frame latency (batch 1) ---
+    staged = [
+        jax.device_put(rng.integers(0, 256, size=(1, H, W, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    _, ck = forward(params, staged[0])
+    int(ck)  # compile + completion barrier
+    lats = []
+    for i in range(min(24, frames)):
+        t0 = time.perf_counter()
+        _, ck = forward(params, staged[i % 2])
+        int(ck)
+        lats.append(time.perf_counter() - t0)
+    lat = float(np.median(lats))
+    print(
+        f"single-frame latency (batch 1, incl. host RTT): "
+        f"{lat * 1e3:.1f} ms median = {1 / lat:.1f} fps"
+    )
+
+    # --- streaming throughput (batch 8, bounded in-flight window) ---
+    batch = 8
+    n_batches = max(2, frames // batch)
+    staged = [
+        jax.device_put(
+            rng.integers(0, 256, size=(batch, H, W, 3), dtype=np.uint8)
+        )
+        for _ in range(2)
+    ]
+    _, ck = forward(params, staged[0])
+    int(ck)
+    start = time.perf_counter()
+    cks = []
+    for i in range(n_batches):
+        _, ck = forward(params, staged[i % 2])
+        cks.append(ck)
+        if len(cks) > 4:
+            int(cks.pop(0))
+    for ck in cks:
+        int(ck)
+    dt = time.perf_counter() - start
+    print(
+        f"streaming throughput (batch 8): "
+        f"{dt / (n_batches * batch) * 1e3:.1f} ms/frame = "
+        f"{n_batches * batch / dt:.1f} fps"
+    )
+
+
+if __name__ == "__main__":
+    main()

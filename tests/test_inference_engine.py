@@ -61,6 +61,83 @@ class TestUpscaleImages:
             assert diff.max() <= 1
 
 
+class TestBatchSizePolicy:
+    """effective_batch_size: never compile batch 2..7; cap batch pixels.
+
+    The rule encodes two v5e measurements (docs/DESIGN.md): compiled batch
+    sizes 2..7 run 3-5x slower per pixel than 1 or >=8, and a compiled
+    batch over ~4.2M LR pixels fails to allocate.
+    """
+
+    def test_policy_values(self, rng):
+        e = make_engine(rng)
+        # small frames: 2..7 rounds up to 8, 1 and >=8 kept
+        assert e.effective_batch_size(180, 320, 1) == 1
+        for r in range(2, 8):
+            assert e.effective_batch_size(180, 320, r) == 8
+        assert e.effective_batch_size(180, 320, 8) == 8
+        assert e.effective_batch_size(180, 320, 16) == 16
+        # 540x960: budget caps at exactly 8
+        assert e.effective_batch_size(540, 960, 16) == 8
+        # 720x1280: batch 8 exceeds the budget -> 1 (never 2..7)
+        assert e.effective_batch_size(720, 1280, 8) == 1
+        # huge single frame still allowed (batch 1 is never blocked)
+        assert e.effective_batch_size(2000, 3000, 8) == 1
+
+    def test_policy_respects_custom_budget(self, rng):
+        e = make_engine(rng)
+        e.pixel_budget = 8 * 8 * 8
+        assert e.effective_batch_size(8, 8, 8) == 8
+        assert e.effective_batch_size(8, 16, 8) == 1  # cap 4 -> not 2..7
+
+    def test_mesh_policy_is_per_device(self, rng):
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+
+        model = Generator(n_filters=8, n_layers=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        e = SRInferenceEngine(
+            params, n_filters=8, n_layers=2, dtype=jnp.float32,
+            mesh=make_mesh(8),
+        )
+        # global 64 = 8 per device (fine); global 16 = 2 per device -> 64
+        assert e.effective_batch_size(180, 320, 64) == 64
+        assert e.effective_batch_size(180, 320, 16) == 64
+        assert e.effective_batch_size(180, 320, 8) == 8  # 1 per device
+
+    def test_small_batches_pad_to_compiled_size(self, rng):
+        engine = make_engine(rng)
+        batch = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+        got = engine.upscale_batch(batch)
+        assert got.shape == (3, 32, 32, 3)
+        want = engine.upscale_batch(
+            np.concatenate([batch, batch[-1:].repeat(5, 0)])
+        )[:3]
+        np.testing.assert_array_equal(got, want)
+
+    def test_over_budget_batch_splits_into_chunks(self, rng):
+        engine = make_engine(rng)
+        engine.pixel_budget = 8 * 8 * 8  # cap: 8 frames of 8x8
+        batch = rng.integers(0, 256, (9, 8, 8, 3), dtype=np.uint8)
+        got = engine.upscale_batch(batch)
+        assert got.shape == (9, 32, 32, 3)
+        # each sample equals its batch-8-program upscale (per-sample norm)
+        want = engine.upscale_batch(batch[:8])
+        np.testing.assert_array_equal(got[:8], want)
+
+    def test_stream_adopts_frame_size_policy(self, rng):
+        engine = make_engine(rng)
+        engine.pixel_budget = 8 * 8 * 2  # force batch 1 for 8x8 frames
+        frames = [
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)
+        ]
+        outs = list(engine.stream(iter(frames), batch_size=8))
+        assert len(outs) == 3
+        for f, o in zip(frames, outs):
+            np.testing.assert_array_equal(
+                o, engine.upscale_batch(f[None])[0]
+            )
+
+
 class TestDataParallelEngine:
     def test_mesh_sharded_matches_single_device(self, rng):
         from fast_srgan_tpu.parallel.mesh import make_mesh
