@@ -41,9 +41,8 @@ import numpy as np
 REFERENCE_FPS = 27.0  # reference README.md:16-18 (180x320 -> 720p, M1 Pro)
 
 
-def main() -> None:
-    frames = int(os.environ.get("BENCH_FRAMES", "800"))
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+def run(batch_size: int, frames: int) -> float:
+    """One timed pass at a given batch size; returns sustained FPS."""
     # Round the request up to whole batches — fps counts frames actually
     # processed, so frames and the numerator must agree.
     frames = ((frames + batch_size - 1) // batch_size) * batch_size
@@ -111,7 +110,26 @@ def main() -> None:
         int(ck)
     elapsed = time.perf_counter() - start
 
-    fps = (n_batches * batch_size) / elapsed
+    return (n_batches * batch_size) / elapsed
+
+
+def main() -> None:
+    frames = int(os.environ.get("BENCH_FRAMES", "800"))
+    # Batch 96 is the measured optimum on v5e (sweep in docs/DESIGN.md:
+    # 315 fps @16, 352 @64, 431 @96; 112 exhausts HBM). The fallback chain
+    # guards against a device with less free memory than measured.
+    requested = int(os.environ.get("BENCH_BATCH", "96"))
+    candidates = list(
+        dict.fromkeys(b for b in (requested, 64, 16) if b <= requested)
+    )
+    fps = None
+    for batch_size in candidates:
+        try:
+            fps = run(batch_size, frames)
+            break
+        except Exception:  # RESOURCE_EXHAUSTED: retry smaller
+            if batch_size == candidates[-1]:
+                raise
     result = {
         "metric": "fps_180x320_to_720p_800frames",
         "value": round(fps, 2),
