@@ -208,6 +208,9 @@ class SRInferenceEngine:
         batch larger than the per-device pixel budget is split into chunks.
         """
         b, h, w, _ = batch_u8.shape
+        if b == 0:
+            s = self.SCALE
+            return np.empty((0, h * s, w * s, 3), np.uint8)
         eff = self.effective_batch_size(h, w, b)
         if b != eff:
             if b < eff:  # pad 2..7 up to the compiled batch (8 per device)

@@ -114,6 +114,11 @@ class TestBatchSizePolicy:
         )[:3]
         np.testing.assert_array_equal(got, want)
 
+    def test_empty_batch_returns_empty(self, rng):
+        engine = make_engine(rng)
+        out = engine.upscale_batch(np.empty((0, 8, 8, 3), np.uint8))
+        assert out.shape == (0, 32, 32, 3) and out.dtype == np.uint8
+
     def test_over_budget_batch_splits_into_chunks(self, rng):
         engine = make_engine(rng)
         engine.pixel_budget = 8 * 8 * 8  # cap: 8 frames of 8x8
