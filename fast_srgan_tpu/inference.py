@@ -253,13 +253,24 @@ class SRInferenceEngine:
     # -- directory / streaming APIs -----------------------------------------
 
     def upscale_images(
-        self, images: Sequence[np.ndarray], batch_size: int = 8
+        self,
+        images: Sequence[np.ndarray],
+        batch_size: int = 8,
+        pad_singletons: bool = False,
     ) -> List[np.ndarray]:
-        """Upscale a list of uint8 HWC images, batching same-shape groups."""
+        """Upscale a list of uint8 HWC images, batching same-shape groups.
+
+        pad_singletons: run lone images through the group's full compiled
+        batch (zero-padded) instead of a batch-1 program. Serving uses this
+        so live traffic only ever compiles one program per shape — a fresh
+        TPU compile mid-request costs 20-240s.
+        """
         images = list(images)
         outputs: List[np.ndarray] = [None] * len(images)  # type: ignore
         sizes = [im.shape[:2] for im in images]
-        for i, out in self._grouped_upscale(sizes, lambda i: images[i], batch_size):
+        for i, out in self._grouped_upscale(
+            sizes, lambda i: images[i], batch_size, pad_singletons
+        ):
             outputs[i] = out
         return outputs
 
@@ -283,7 +294,7 @@ class SRInferenceEngine:
         )
 
     def _grouped_upscale(
-        self, sizes, take, batch_size
+        self, sizes, take, batch_size, pad_singletons: bool = False
     ) -> Iterator[Tuple[int, np.ndarray]]:
         """Shared grouping/batching; trailing partial batches are padded to
         the compiled batch size rather than recompiled. Groups by exact
@@ -306,7 +317,13 @@ class SRInferenceEngine:
                 # (both avoids the pathological 2..7 batch lowerings and
                 # reuses the full-chunk program for trailing partials).
                 compiled = (
-                    1 if len(chunk) == 1 and len(idxs) <= eff else eff
+                    1
+                    if (
+                        not pad_singletons
+                        and len(chunk) == 1
+                        and len(idxs) <= eff
+                    )
+                    else eff
                 )
                 pad = compiled - len(chunk)
                 if self.bucket:

@@ -125,15 +125,16 @@ class MicroBatcher:
                     break
                 batch.append(nxt)
             try:
-                # Pad to max_batch so serving traffic only ever compiles ONE
-                # program per bucket shape (a 1..max_batch-sized batch would
-                # otherwise each be a fresh 20-240s TPU compile mid-traffic).
+                # pad_singletons: the engine zero-pads every chunk — lone
+                # images included — to its compiled batch for the shape, so
+                # serving traffic only ever compiles ONE program per bucket
+                # shape (a 1..max_batch-sized batch would otherwise each be
+                # a fresh 20-240s TPU compile mid-traffic). Padding happens
+                # per shape group inside the engine, which also drops to
+                # batch 1 for frames too large to batch within HBM.
                 images = [it.image for it in batch]
-                pad = self.max_batch - len(images)
-                if pad > 0:
-                    images.extend([images[-1]] * pad)
                 outs = self.engine.upscale_images(
-                    images, batch_size=self.max_batch
+                    images, batch_size=self.max_batch, pad_singletons=True
                 )
                 if len(outs) != len(images):
                     raise RuntimeError(

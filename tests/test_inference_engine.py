@@ -129,6 +129,16 @@ class TestBatchSizePolicy:
         want = engine.upscale_batch(batch[:8])
         np.testing.assert_array_equal(got[:8], want)
 
+    def test_pad_singletons_matches_batch1_output(self, rng):
+        engine = make_engine(rng)
+        image = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        padded = engine.upscale_images([image], pad_singletons=True)[0]
+        single = engine.upscale_batch(image[None])[0]
+        # padded runs the batch-8 program; batch-1 program may round the
+        # last uint8 bit differently
+        diff = np.abs(padded.astype(np.int16) - single.astype(np.int16))
+        assert padded.shape == single.shape and diff.max() <= 1
+
     def test_stream_adopts_frame_size_policy(self, rng):
         engine = make_engine(rng)
         engine.pixel_budget = 8 * 8 * 2  # force batch 1 for 8x8 frames

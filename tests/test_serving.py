@@ -101,7 +101,7 @@ class TestEndpoints:
 class TestMicroBatcher:
     def test_error_propagates_to_all_waiters(self):
         class Boom:
-            def upscale_images(self, images, batch_size):
+            def upscale_images(self, images, batch_size, pad_singletons=False):
                 raise RuntimeError("boom")
 
         b = MicroBatcher(Boom(), max_batch=4, max_wait_ms=10.0)
@@ -114,21 +114,22 @@ class TestMicroBatcher:
 
 
 class TestHardening:
-    def test_batches_padded_to_max_batch(self):
+    def test_singleton_requests_use_padded_programs(self):
         seen = []
 
         class Spy:
-            def upscale_images(self, images, batch_size):
-                seen.append(len(images))
+            def upscale_images(self, images, batch_size, pad_singletons=False):
+                seen.append((len(images), batch_size, pad_singletons))
                 return [im.repeat(4, 0).repeat(4, 1) for im in images]
 
         b = MicroBatcher(Spy(), max_batch=4, max_wait_ms=1.0)
         try:
             out = b.submit(np.zeros((4, 4, 3), np.uint8))
             assert out.shape == (16, 16, 3)
-            # one real request -> device batch padded to max_batch, so every
-            # bucket shape compiles exactly one program signature
-            assert seen == [4]
+            # one real request, no batcher-side junk padding; the engine is
+            # told to pad singletons to the compiled batch per shape group,
+            # so every bucket shape compiles exactly one program signature
+            assert seen == [(1, 4, True)]
             assert b.stats["requests"] == 1
         finally:
             b.close()
@@ -137,7 +138,7 @@ class TestHardening:
         import time as _time
 
         class Slow:
-            def upscale_images(self, images, batch_size):
+            def upscale_images(self, images, batch_size, pad_singletons=False):
                 _time.sleep(0.5)
                 return list(images)
 
