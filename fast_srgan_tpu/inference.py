@@ -301,7 +301,21 @@ class SRInferenceEngine:
         shape, or — with bucketing on — by bucket shape, so heterogeneous
         sizes share both programs and batches (each sample zero-padded and
         upscaled exactly via the masked forward, then cropped). Yields
-        (original_index, upscaled) as each batch completes."""
+        (original_index, upscaled) as each batch completes.
+
+        Pipelined: one batch stays in flight — JAX async dispatch lets the
+        host decode/stack batch t+1 while the device runs batch t (the
+        fetch of t's output is deferred until t+1 is dispatched)."""
+        pending: List[Tuple[Any, List[Tuple[int, Tuple[int, int]]]]] = []
+
+        def fetch(entry):
+            dev, metas = entry
+            host = np.asarray(dev)
+            return [
+                (i, host[j, : h * self.SCALE, : w * self.SCALE])
+                for j, (i, (h, w)) in enumerate(metas)
+            ]
+
         order: Dict[Tuple[int, int], List[int]] = {}
         for i, hw in enumerate(sizes):
             key = tuple(
@@ -343,24 +357,25 @@ class SRInferenceEngine:
                         )
                         vh = np.concatenate([vh, vh[-1:].repeat(pad)])
                         vw = np.concatenate([vw, vw[-1:].repeat(pad)])
-                    out = np.asarray(
-                        self._forward_u8_masked(
-                            self.params, self._put_batch(batch),
-                            self._put_batch(vh), self._put_batch(vw),
-                        )
+                    dev = self._forward_u8_masked(
+                        self.params, self._put_batch(batch),
+                        self._put_batch(vh), self._put_batch(vw),
                     )
-                    for j, i in enumerate(chunk):
-                        h, w = sizes[i]
-                        yield i, out[j, : h * self.SCALE, : w * self.SCALE]
                 else:
                     batch = np.stack([take(i) for i in chunk])
                     if pad:
                         batch = np.concatenate(
                             [batch, batch[-1:].repeat(pad, 0)]
                         )
-                    out = self.upscale_batch(batch)
-                    for j, i in enumerate(chunk):
-                        yield i, out[j]
+                    # chunk is already policy-sized+padded, so call the
+                    # compiled program directly (upscale_batch would only
+                    # re-derive the same compiled size)
+                    dev = self._forward_u8(self.params, self._put_batch(batch))
+                pending.append((dev, [(i, sizes[i]) for i in chunk]))
+                if len(pending) > 1:
+                    yield from fetch(pending.pop(0))
+        for entry in pending:
+            yield from fetch(entry)
 
     def stream(
         self, frames: Iterable[np.ndarray], batch_size: int = 8
