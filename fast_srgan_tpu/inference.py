@@ -305,7 +305,11 @@ class SRInferenceEngine:
 
         Pipelined: one batch stays in flight — JAX async dispatch lets the
         host decode/stack batch t+1 while the device runs batch t (the
-        fetch of t's output is deferred until t+1 is dispatched)."""
+        fetch of t's output is deferred until t+1 is dispatched; the same
+        discipline as stream(), which keeps its own copy because frame
+        sizes there are unknown upfront). If decoding or dispatching t+1
+        fails, t's completed outputs are still yielded before the error
+        propagates."""
         pending: List[Tuple[Any, List[Tuple[int, Tuple[int, int]]]]] = []
 
         def fetch(entry):
@@ -330,47 +334,62 @@ class SRInferenceEngine:
                 # the batch-1 program; any other chunk is padded to `eff`
                 # (both avoids the pathological 2..7 batch lowerings and
                 # reuses the full-chunk program for trailing partials).
+                # On a mesh the batch dim must divide the device axis, so
+                # the batch-1 shortcut is never valid there.
                 compiled = (
                     1
                     if (
-                        not pad_singletons
+                        self.mesh is None
+                        and not pad_singletons
                         and len(chunk) == 1
                         and len(idxs) <= eff
                     )
                     else eff
                 )
                 pad = compiled - len(chunk)
-                if self.bucket:
-                    imgs = []
-                    for i in chunk:
-                        im = take(i)
-                        h, w = im.shape[:2]
-                        imgs.append(
-                            np.pad(im, ((0, ph - h), (0, pw - w), (0, 0)))
+                try:
+                    if self.bucket:
+                        imgs = []
+                        for i in chunk:
+                            im = take(i)
+                            h, w = im.shape[:2]
+                            imgs.append(
+                                np.pad(im, ((0, ph - h), (0, pw - w), (0, 0)))
+                            )
+                        batch = np.stack(imgs)
+                        vh = np.array([sizes[i][0] for i in chunk], np.int32)
+                        vw = np.array([sizes[i][1] for i in chunk], np.int32)
+                        if pad:
+                            batch = np.concatenate(
+                                [batch, batch[-1:].repeat(pad, 0)]
+                            )
+                            vh = np.concatenate([vh, vh[-1:].repeat(pad)])
+                            vw = np.concatenate([vw, vw[-1:].repeat(pad)])
+                        dev = self._forward_u8_masked(
+                            self.params, self._put_batch(batch),
+                            self._put_batch(vh), self._put_batch(vw),
                         )
-                    batch = np.stack(imgs)
-                    vh = np.array([sizes[i][0] for i in chunk], np.int32)
-                    vw = np.array([sizes[i][1] for i in chunk], np.int32)
-                    if pad:
-                        batch = np.concatenate(
-                            [batch, batch[-1:].repeat(pad, 0)]
+                    else:
+                        batch = np.stack([take(i) for i in chunk])
+                        if pad:
+                            batch = np.concatenate(
+                                [batch, batch[-1:].repeat(pad, 0)]
+                            )
+                        # chunk is already policy-sized+padded, so call the
+                        # compiled program directly (upscale_batch would
+                        # only re-derive the same compiled size; mesh
+                        # divisibility is guaranteed because `compiled` is
+                        # never 1 when a mesh is set)
+                        dev = self._forward_u8(
+                            self.params, self._put_batch(batch)
                         )
-                        vh = np.concatenate([vh, vh[-1:].repeat(pad)])
-                        vw = np.concatenate([vw, vw[-1:].repeat(pad)])
-                    dev = self._forward_u8_masked(
-                        self.params, self._put_batch(batch),
-                        self._put_batch(vh), self._put_batch(vw),
-                    )
-                else:
-                    batch = np.stack([take(i) for i in chunk])
-                    if pad:
-                        batch = np.concatenate(
-                            [batch, batch[-1:].repeat(pad, 0)]
-                        )
-                    # chunk is already policy-sized+padded, so call the
-                    # compiled program directly (upscale_batch would only
-                    # re-derive the same compiled size)
-                    dev = self._forward_u8(self.params, self._put_batch(batch))
+                except Exception:
+                    # a corrupt file / failed compile for THIS chunk must
+                    # not discard the previous chunk's finished outputs
+                    for entry in pending:
+                        yield from fetch(entry)
+                    pending.clear()
+                    raise
                 pending.append((dev, [(i, sizes[i]) for i in chunk]))
                 if len(pending) > 1:
                     yield from fetch(pending.pop(0))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fast_srgan_tpu.inference import SRInferenceEngine
 from fast_srgan_tpu.models import Generator
@@ -172,6 +173,44 @@ class TestDataParallelEngine:
         # instance-norm stats are per-sample, so DP sharding is exact up to
         # reduction order; uint8 rounding can differ by 1 count
         assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+class TestPipelinedGrouping:
+    def test_mesh_singleton_pads_to_mesh_divisible_batch(self, rng):
+        # regression: the batch-1 shortcut must not fire on a mesh (a
+        # batch of 1 cannot shard over the device axis)
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+
+        model = Generator(n_filters=8, n_layers=2)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=2, dtype=jnp.float32,
+            mesh=make_mesh(8),
+        )
+        image = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        out = engine.upscale_images([image])[0]
+        assert out.shape == (32, 32, 3)
+
+    def test_decode_failure_yields_finished_batches_first(self, rng):
+        # regression: with one batch in flight, a corrupt file in batch
+        # t+1 must not discard batch t's completed outputs
+        engine = make_engine(rng)
+        good = [
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(9)
+        ]
+
+        def take(i):
+            if i == 8:
+                raise IOError("corrupt file")
+            return good[i]
+
+        sizes = [(8, 8)] * 9
+        got = []
+        gen = engine._grouped_upscale(sizes, take, batch_size=8)
+        with pytest.raises(IOError):
+            for i, out in gen:
+                got.append(i)
+        assert got == list(range(8))  # the full first batch was delivered
 
 
 class TestStream:
