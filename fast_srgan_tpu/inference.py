@@ -101,7 +101,7 @@ class SRInferenceEngine:
                 "Pallas tier; use bucket=0 or use_pallas=False"
             )
         if lr_tail is None:
-            lr_tail = scale_factor == 4 and not use_pallas
+            lr_tail = scale_factor in (2, 4) and not use_pallas
         self.lr_tail = lr_tail
         if lr_tail:
             from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail

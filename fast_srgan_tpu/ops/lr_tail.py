@@ -37,8 +37,10 @@ disappear. The transform is exact (pure kernel rearrangement): fp32 outputs
 match `Generator.__call__` to float tolerance; see tests/test_lr_tail.py.
 
 Inference-only by design (training keeps the canonical graph so checkpoints
-and the GAN losses stay on the reference formulation); only scale_factor=4
-(the reference's fixed factor and the shipped checkpoints) is supported.
+and the GAN losses stay on the reference formulation). scale_factor=4 (the
+reference's fixed factor and the shipped checkpoints) uses the full
+two-stage decomposition below; scale_factor=2 uses the single-stage
+analogue (:func:`lr_tail_2x`); scale_factor=8 keeps the canonical forward.
 """
 
 from __future__ import annotations
@@ -115,6 +117,68 @@ def _head_kernel_4x(k: jnp.ndarray) -> jnp.ndarray:
     return kd
 
 
+def _head_kernel_2x(k: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,F,n] conv applied at 2x res -> one dense [3,3,4F,4n] LR kernel.
+
+    The scale_factor=2 analogue of :func:`_head_kernel_4x`: input channels
+    are pixel_shuffle_nhwc's packing c*4 + iy*2 + ix of the (single)
+    upsample stage's pre-shuffle tensor; output channels are packed
+    n*4 + sy*2 + sx so pixel_shuffle_nhwc(., 2) finishes the job. HR taps
+    2h + sy + dy regroup as LR taps h + gi - 1 with sub-pixel phase
+    ty = (sy + dy) & 1, gi = ((sy + dy) >> 1) + 1.
+    """
+    _, _, f, n = k.shape
+    kd = jnp.zeros((3, 3, 4 * f, 4 * n), k.dtype)
+    for sy in range(2):
+        for sx in range(2):
+            oc = sy * 2 + sx
+            for dy in (-1, 0, 1):
+                t = sy + dy
+                ty, gi = t & 1, (t >> 1) + 1
+                for dx in (-1, 0, 1):
+                    s = sx + dx
+                    tx, gj = s & 1, (s >> 1) + 1
+                    kd = kd.at[
+                        gi, gj, (ty * 2 + tx)::4, oc::4
+                    ].set(k[dy + 1, dx + 1])
+    return kd
+
+
+def lr_tail_2x(
+    y: jnp.ndarray,
+    params: Dict[str, Any],
+    dtype: Any = jnp.float32,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Apply the 2x upsampling tail entirely at LR resolution.
+
+    scale_factor=2 generators have a single upsample stage
+    (conv F->4F -> PixelShuffle(2) -> PReLU) before the head; the stage-1
+    conv already runs at LR verbatim, the shared-slope PReLU commutes with
+    the shuffle, and the head conv3x3 at 2x res becomes one dense LR conv
+    emitting all 4 sub-pixel phases — the final depth-to-space is the only
+    layout copy. Exact (see tests/test_lr_tail.py).
+    """
+    up0 = params["upsampling_0"]
+    head = params["head_conv"]
+    y = y.astype(dtype)
+    if mask is not None:
+        mask = mask.astype(dtype)
+
+    a1 = _conv(y, up0["conv"]["kernel"].astype(dtype), ((1, 1), (1, 1)))
+    a1 = a1 + up0["conv"]["bias"].astype(dtype)
+    if mask is not None:
+        a1 = a1 * mask
+    alpha1 = up0["relu"]["alpha"].astype(dtype)
+    a1 = jnp.where(a1 >= 0, a1, alpha1 * a1)  # [B, H, W, 4F]
+
+    kd = _head_kernel_2x(head["kernel"])
+    z = _conv(a1, kd.astype(dtype), ((1, 1), (1, 1)))
+    z = z + jnp.repeat(head["bias"], 4).astype(dtype)
+    z = jnp.tanh(z.astype(jnp.float32))  # [B, H, W, 12]
+    return pixel_shuffle_nhwc(z, 2)
+
+
 def lr_tail(
     y: jnp.ndarray,
     params: Dict[str, Any],
@@ -180,14 +244,17 @@ def generator_apply_lr_tail(
 ) -> jnp.ndarray:
     """Drop-in for ``model.apply(variables, x)`` with the LR-domain tail.
 
-    ``model`` is a Generator with scale_factor=4; the param tree is the
+    ``model`` is a Generator with scale_factor 2 or 4; the param tree is the
     canonical one (no conversion step — rearrangement happens in-graph).
     ``valid_hw`` enables the exact zero-pad-masked forward (see
     Generator.__call__); the tail runs at LR so the LR mask covers it whole.
+    scale_factor=8 keeps the canonical forward: its decomposition would need
+    16- and 64-phase kernel scatters (~1200 in-graph `.at[].set`s) for a
+    tail that is a smaller fraction of an already larger program.
     """
-    if model.scale_factor != 4:
+    if model.scale_factor not in (2, 4):
         raise ValueError(
-            "lr_tail supports scale_factor=4 only "
+            "lr_tail supports scale_factor 2 or 4 only "
             f"(got {model.scale_factor}); use the canonical forward"
         )
     y = model.apply(variables, x, trunk_only=True, valid_hw=valid_hw)
@@ -198,4 +265,5 @@ def generator_apply_lr_tail(
         mask, _ = valid_mask_nhwc(
             y.shape[1], y.shape[2], valid_hw[0], valid_hw[1]
         )
-    return lr_tail(y, variables["params"], dtype=model.dtype, mask=mask)
+    tail = lr_tail if model.scale_factor == 4 else lr_tail_2x
+    return tail(y, variables["params"], dtype=model.dtype, mask=mask)

@@ -240,14 +240,22 @@ class TestLRTailEngine:
         # uint8 bit differently.
         assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
 
-    def test_auto_off_for_non_4x_scales(self, rng):
+    def test_auto_on_for_2x_off_for_8x(self, rng):
         model = Generator(n_filters=8, n_layers=1, scale_factor=2)
         params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
         engine = SRInferenceEngine(
             params, n_filters=8, n_layers=1, dtype=jnp.float32, scale_factor=2
         )
-        assert not engine.lr_tail
+        assert engine.lr_tail  # single-stage LR tail (ops/lr_tail.lr_tail_2x)
         out = engine.upscale_batch(
             rng.integers(0, 256, (1, 9, 10, 3), dtype=np.uint8)
         )
         assert out.shape == (1, 18, 20, 3)
+
+        model8 = Generator(n_filters=8, n_layers=1, scale_factor=8)
+        params8 = model8.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine8 = SRInferenceEngine(
+            params8, n_filters=8, n_layers=1, dtype=jnp.float32,
+            scale_factor=8,
+        )
+        assert not engine8.lr_tail  # 8x keeps the canonical forward

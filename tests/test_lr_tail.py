@@ -55,11 +55,50 @@ class TestLRTailExactness:
         got = generator_apply_lr_tail(model, params, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
-    def test_rejects_non_4x(self):
-        model = Generator(n_filters=16, n_layers=1, scale_factor=2)
+    @pytest.mark.parametrize(
+        "h,w,n_filters,n_layers",
+        [(24, 24, 32, 2), (9, 13, 16, 1)],
+    )
+    def test_2x_matches_canonical_fp32(self, h, w, n_filters, n_layers):
+        model = Generator(
+            n_filters=n_filters, n_layers=n_layers, scale_factor=2,
+            dtype=jnp.float32,
+        )
+        x = jax.random.uniform(
+            jax.random.PRNGKey(h + w), (2, h, w, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        ref = model.apply(v, x)
+        got = generator_apply_lr_tail(model, v, x)
+        assert got.shape == ref.shape == (2, 2 * h, 2 * w, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_2x_masked_matches_canonical(self):
+        model = Generator(n_filters=16, n_layers=1, scale_factor=2,
+                          dtype=jnp.float32)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(7), (2, 12, 12, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        vh = jnp.array([12, 9], jnp.int32)
+        vw = jnp.array([12, 10], jnp.int32)
+        from fast_srgan_tpu.ops.norm import valid_mask_nhwc
+
+        mask, _ = valid_mask_nhwc(12, 12, vh, vw)
+        ref = model.apply(v, x * mask, valid_hw=(vh, vw))
+        got = generator_apply_lr_tail(model, v, x * mask, valid_hw=(vh, vw))
+        for b, (h, w) in enumerate([(12, 12), (9, 10)]):
+            np.testing.assert_allclose(
+                np.asarray(got)[b, : 2 * h, : 2 * w],
+                np.asarray(ref)[b, : 2 * h, : 2 * w],
+                atol=2e-5,
+            )
+
+    def test_rejects_8x(self):
+        model = Generator(n_filters=16, n_layers=1, scale_factor=8)
         x = jnp.zeros((1, 8, 8, 3))
         v = model.init(jax.random.PRNGKey(0), x)
-        with pytest.raises(ValueError, match="scale_factor=4"):
+        with pytest.raises(ValueError, match="scale_factor 2 or 4"):
             generator_apply_lr_tail(model, v, x)
 
     def test_trunk_only_is_prefix_of_full(self):
