@@ -39,6 +39,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def arch_from_params(params: Dict[str, Any]) -> Dict[str, int]:
+    """Read the generator architecture off a param pytree.
+
+    The tree fully determines the model: the neck conv's output features are
+    ``n_filters``, the ``stem_i`` count is ``n_layers``, and each
+    ``upsampling_i`` stage doubles resolution (so scale = 2**count). Lets
+    CLIs accept any checkpoint without matching config edits — the
+    reference hardcodes its architecture in configs/config.yaml and loads
+    only the one shipped model (reference inference.py:26-33).
+    """
+    p = params["params"] if "params" in params else params
+    if "neck_conv" not in p:
+        raise ValueError(
+            "not a generator param tree (no 'neck_conv'); got keys "
+            f"{sorted(p)[:8]}"
+        )
+    return {
+        "n_filters": int(p["neck_conv"]["kernel"].shape[-1]),
+        "n_layers": sum(1 for k in p if str(k).startswith("stem_")),
+        "scale_factor": 2
+        ** sum(1 for k in p if str(k).startswith("upsampling_")),
+    }
+
+
 class SRInferenceEngine:
     """Jitted 4x SR engine over a fixed parameter set.
 

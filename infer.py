@@ -100,14 +100,26 @@ def main(argv=None) -> None:
 
     config = load_config(args.config)
     params = load_generator_params(ckpt)
+    # The checkpoint determines the architecture (any n_filters/n_layers/
+    # scale trains here); the config is only consulted for kernel options.
+    from fast_srgan_tpu.inference import arch_from_params
+
+    arch = arch_from_params(params)
+    cfg_arch = {
+        "n_filters": config.generator.n_filters,
+        "n_layers": config.generator.n_layers,
+        "scale_factor": config.data.scale_factor,
+    }
+    if arch != cfg_arch:
+        print(f"checkpoint architecture {arch} (overrides config {cfg_arch})")
     engine = SRInferenceEngine(
         params,
-        n_filters=config.generator.n_filters,
-        n_layers=config.generator.n_layers,
+        n_filters=arch["n_filters"],
+        n_layers=arch["n_layers"],
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         bucket=args.bucket,
         use_pallas=config.kernels.use_pallas,
-        scale_factor=config.data.scale_factor,
+        scale_factor=arch["scale_factor"],
     )
 
     if args.video is not None:

@@ -44,16 +44,26 @@ def main() -> None:
     parser.add_argument("--crop", type=int, default=0,
                         help="center-crop HR to this size (0 = full image)")
     parser.add_argument("--fp32", action="store_true")
-    parser.add_argument("--n_filters", type=int, default=64)
-    parser.add_argument("--n_layers", type=int, default=8)
+    parser.add_argument(
+        "--n_filters", type=int, default=None,
+        help="override the architecture read from the checkpoint",
+    )
+    parser.add_argument("--n_layers", type=int, default=None)
     args = parser.parse_args()
 
     from infer import load_generator_params
+    from fast_srgan_tpu.inference import arch_from_params
 
     params = load_generator_params(args.checkpoint)
+    arch = arch_from_params(params)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    scale = arch["scale_factor"]
     model = Generator(
-        n_filters=args.n_filters, n_layers=args.n_layers, dtype=dtype
+        n_filters=args.n_filters or arch["n_filters"],
+        n_layers=args.n_layers if args.n_layers is not None
+        else arch["n_layers"],
+        scale_factor=scale,
+        dtype=dtype,
     )
 
     import jax
@@ -65,7 +75,7 @@ def main() -> None:
     def evaluate(p, hr_u8):
         hr = hr_u8.astype(jnp.float32)
         h, w = hr.shape[1], hr.shape[2]
-        lr = resize_bicubic_nhwc(hr, h // 4, w // 4) / 127.5 - 1.0
+        lr = resize_bicubic_nhwc(hr, h // scale, w // scale) / 127.5 - 1.0
         sr01 = (model.apply(p, lr) + 1.0) / 2.0
         sr01 = jnp.clip(sr01, 0.0, 1.0)
         hr01 = hr / 255.0
@@ -80,11 +90,11 @@ def main() -> None:
         img = load_image_u8(os.path.join(args.image_dir, name))
         h, w = img.shape[:2]
         if args.crop:
-            # floor the requested crop to a multiple of 4 so LR synthesis
-            # and the 4x output tile exactly
-            ch = cw = (min(args.crop, min(h, w)) // 4) * 4
+            # floor the requested crop to a multiple of the scale so LR
+            # synthesis and the upscaled output tile exactly
+            ch = cw = (min(args.crop, min(h, w)) // scale) * scale
         else:
-            ch, cw = (h // 4) * 4, (w // 4) * 4
+            ch, cw = (h // scale) * scale, (w // scale) * scale
         top, left = (h - ch) // 2, (w - cw) // 2
         crop = img[top : top + ch, left : left + cw]
         sse, ssim = evaluate(params, jnp.asarray(crop[None]))

@@ -24,7 +24,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--step", choices=["forward", "gan"], default="forward")
+    parser.add_argument(
+        "--step", choices=["forward", "gan", "pretrain"], default="forward"
+    )
     parser.add_argument("--shape", default="16x180x320", help="BxHxW input")
     parser.add_argument("--trace", default=None, help="trace output dir")
     parser.add_argument("--fp32", action="store_true")
@@ -62,11 +64,12 @@ def main() -> None:
         from fast_srgan_tpu.config import default_config
         from fast_srgan_tpu.train.steps import build_bundle
 
-        # --shape is the HR crop batch for the GAN step: BxHxW with H == W
-        # (training crops are square; reference dataloader.py:27-31).
+        # --shape is the HR crop batch for the train steps: BxHxW with
+        # H == W (training crops are square; reference dataloader.py:27-31).
         if h != w or h % 4 != 0:
             raise SystemExit(
-                f"--step gan needs square HR crops divisible by 4, got {h}x{w}"
+                f"--step {args.step} needs square HR crops divisible by 4, "
+                f"got {h}x{w}"
             )
         config = default_config(
             training={"bf16": not args.fp32},
@@ -74,13 +77,19 @@ def main() -> None:
         )
         bundle, g_state, d_state, vgg_params = build_bundle(config)
 
-        def fn(g, d, v, batch, key):
-            return bundle.gan_step.__wrapped__(g, d, v, batch, key)
+        if args.step == "pretrain":
+            def fn(g, batch):
+                return bundle.pretrain_step.__wrapped__(g, batch)
 
-        example = (
-            g_state, d_state, vgg_params,
-            jnp.zeros((b, h, w, 3), jnp.uint8), jax.random.key(0),
-        )
+            example = (g_state, jnp.zeros((b, h, w, 3), jnp.uint8))
+        else:
+            def fn(g, d, v, batch, key):
+                return bundle.gan_step.__wrapped__(g, d, v, batch, key)
+
+            example = (
+                g_state, d_state, vgg_params,
+                jnp.zeros((b, h, w, 3), jnp.uint8), jax.random.key(0),
+            )
 
     lowered = jax.jit(fn).lower(*example)
     compiled = lowered.compile()

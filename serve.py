@@ -63,13 +63,17 @@ def main() -> None:
             )
 
     config = load_config(args.config)
+    from fast_srgan_tpu.inference import arch_from_params
+
+    params = load_generator_params(ckpt)
+    arch = arch_from_params(params)  # checkpoint determines architecture
     engine = SRInferenceEngine(
-        load_generator_params(ckpt),
-        n_filters=config.generator.n_filters,
-        n_layers=config.generator.n_layers,
+        params,
+        n_filters=arch["n_filters"],
+        n_layers=arch["n_layers"],
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         bucket=args.bucket,
-        scale_factor=config.data.scale_factor,
+        scale_factor=arch["scale_factor"],
     )
     # Warm the common program shape before accepting traffic (first TPU
     # compile is 20-240s; a cold-start request would eat it).

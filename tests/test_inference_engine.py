@@ -259,3 +259,49 @@ class TestLRTailEngine:
             scale_factor=8,
         )
         assert not engine8.lr_tail  # 8x keeps the canonical forward
+
+
+class TestArchFromParams:
+    """Architecture autodetection off the param tree (CLI `--checkpoint`
+    with arbitrary generators; infer.py/serve.py/evaluate.py use this)."""
+
+    @pytest.mark.parametrize(
+        "n_filters,n_layers,scale",
+        [(8, 1, 2), (16, 3, 4), (8, 2, 8)],
+    )
+    def test_roundtrip(self, n_filters, n_layers, scale):
+        from fast_srgan_tpu.inference import arch_from_params
+
+        model = Generator(
+            n_filters=n_filters, n_layers=n_layers, scale_factor=scale
+        )
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        assert arch_from_params(params) == {
+            "n_filters": n_filters,
+            "n_layers": n_layers,
+            "scale_factor": scale,
+        }
+        # also accepts the inner tree (the spatial/tail code paths' layout)
+        assert arch_from_params(params["params"])["n_filters"] == n_filters
+
+    def test_rejects_non_generator_tree(self):
+        from fast_srgan_tpu.inference import arch_from_params
+
+        with pytest.raises(ValueError, match="neck_conv"):
+            arch_from_params({"params": {"something": 1}})
+
+    def test_pretrained_checkpoint(self):
+        import os
+
+        ckpt = os.path.join(
+            os.path.dirname(__file__), "..", "models",
+            "generator_pretrained.npz",
+        )
+        if not os.path.exists(ckpt):
+            pytest.skip("pretrained checkpoint not present")
+        from fast_srgan_tpu.checkpoints.npz_io import load_npz_params
+        from fast_srgan_tpu.inference import arch_from_params
+
+        assert arch_from_params(load_npz_params(ckpt)) == {
+            "n_filters": 64, "n_layers": 8, "scale_factor": 4,
+        }
