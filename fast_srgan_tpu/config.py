@@ -88,7 +88,7 @@ DEFAULTS: dict = {
         # --- TPU additions ---
         "bf16": True,  # bf16 compute, fp32 params/optimizer
         "remat": False,  # rematerialize stem blocks (memory for FLOPs)
-        "vgg_weights": None,  # path to a torchvision vgg19 state_dict (.pth)
+        "vgg_weights": None,  # torchvision vgg19 .pth path, or "init" (profiling)
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
         "export_pt": False,  # also write reference-format .pt files

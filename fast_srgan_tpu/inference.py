@@ -83,7 +83,7 @@ class SRInferenceEngine:
         exact phase-decomposition transform (ops/lr_tail.py) — measured
         1.27x end-to-end on v5e (71.9 -> 56.8 ms per 16x180x320 batch) with
         bf16-reassociation-level output differences only. Default (None):
-        on when scale_factor == 4 and the Pallas tier is off.
+        on when scale_factor is 2 or 4 and the Pallas tier is off.
       pixel_budget: max total LR pixels per compiled batch *per device*.
         Bounds activation memory: at 4x the widest intermediate holds
         ~2 KiB per LR pixel (the 64-ch 4x-res map, or the LR tail's

@@ -122,7 +122,14 @@ def build_bundle(
     # loss structure anchored.
     vgg_path = config.training.vgg_weights
     has_vgg = bool(vgg_path)
-    if has_vgg:
+    if vgg_path == "init":
+        # Sentinel: run the VGG-features content loss with the fixed-seed
+        # init weights. The full reference loss *formulation* (and its
+        # compute/HBM cost — profiling, throughput work) without ImageNet
+        # weights; NOT a training recommendation (random features collapse
+        # fidelity, measured above).
+        vgg_params = vgg.init(k_v, jnp.zeros((1, hr_size, hr_size, 3)))
+    elif has_vgg:
         from fast_srgan_tpu.checkpoints.torch_compat import (
             load_torch_state_dict,
             vgg19_params_from_torch_state_dict,

@@ -14,6 +14,14 @@ protocol of scripts/train_throughput.py (>=100 steps; repeat and take the
 best — tunnel timings vary run to run, see docs/DESIGN.md).
 
 Usage: python scripts/dstep_concat_experiment.py [STEPS=120] [BATCH=24]
+
+RESULT (v5e, 2026-08-16, batch 24, 120-step donated chains x3): parity —
+best 6.55 ms/step baseline vs 6.47 ms concat (runs 6.71/7.53/6.55 vs
+7.20/6.47/6.97; well inside run-to-run spread). The step is HBM-bound
+(docs/DESIGN.md "Training-step anatomy") and concatenation moves no bytes
+off the critical path; XLA's batch-24 D convs were already MXU-efficient.
+The canonical two-call formulation stays (it matches the reference graph
+1:1 and keeps per-term loss logging exact).
 """
 
 from __future__ import annotations

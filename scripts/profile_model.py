@@ -34,6 +34,11 @@ def main() -> None:
         "--lr_tail", action="store_true",
         help="profile the LR-domain tail forward (ops/lr_tail.py)",
     )
+    parser.add_argument(
+        "--vgg", action="store_true",
+        help="--step gan: include the VGG19 perceptual content loss "
+        "(training.vgg_weights='init' — the reference formulation's cost)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -72,7 +77,10 @@ def main() -> None:
                 f"got {h}x{w}"
             )
         config = default_config(
-            training={"bf16": not args.fp32},
+            training={
+                "bf16": not args.fp32,
+                **({"vgg_weights": "init"} if args.vgg else {}),
+            },
             data={"lr_image_size": h // 4, "scale_factor": 4},
         )
         bundle, g_state, d_state, vgg_params = build_bundle(config)

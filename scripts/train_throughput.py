@@ -34,8 +34,11 @@ from fast_srgan_tpu.train.steps import build_bundle  # noqa: E402
 def main() -> None:
     steps = int(os.environ.get("STEPS", "50"))
     batch = int(os.environ.get("BATCH", "24"))
+    vgg = os.environ.get("VGG", "")  # path, or "init" for fixed-seed VGG
 
-    config = default_config(training={"bf16": True, "batch_size": batch})
+    config = default_config(
+        training={"bf16": True, "batch_size": batch, "vgg_weights": vgg}
+    )
     bundle, g_state, d_state, vgg_params = build_bundle(config)
     hr = config.data.lr_image_size * config.data.scale_factor
 
@@ -72,6 +75,7 @@ def main() -> None:
     print(json.dumps({
         "batch": batch,
         "hr_crop": hr,
+        "content_loss": "vgg" if vgg else "pixel",
         "pretrain_steps_per_s": round(1 / pre_dt, 2),
         "pretrain_crops_per_s": round(batch / pre_dt, 1),
         "gan_steps_per_s": round(1 / gan_dt, 2),

@@ -15,7 +15,8 @@ from fast_srgan_tpu.models import Discriminator
 
 def torch_discriminator_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
     """Oracle executing the reference critic graph (model.py:120-193)."""
-    w = {k: torch.from_numpy(v) for k, v in sd.items()}
+    # np.array copy: exported arrays can be non-writable (torch warns)
+    w = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
     y = F.conv2d(x, w["neck.0.weight"], w["neck.0.bias"], padding=1)
     y = F.leaky_relu(y, 0.2)
     strides = [2, 1, 2, 1, 2, 1, 2]

@@ -69,6 +69,32 @@ class TestGanStep:
         )
         assert any(changed_g) and any(changed_d)
 
+    def test_vgg_init_sentinel_uses_feature_loss(self, rng):
+        # training.vgg_weights="init": the VGG-features content loss runs
+        # with fixed-seed weights (the reference loss formulation's full
+        # compute, for profiling) instead of the pixel-space fallback.
+        batch = jnp.asarray(synthetic_batch(rng))
+        key = jax.random.key(3)
+
+        config = tiny_config(vgg_weights="init")
+        bundle, g_state, d_state, vgg_params = build_bundle(config)
+        _, _, m_vgg = bundle.gan_step(
+            g_state, d_state, vgg_params, batch, key
+        )
+
+        config2 = tiny_config()
+        bundle2, g_state2, d_state2, vgg_params2 = build_bundle(config2)
+        _, _, m_pix = bundle2.gan_step(
+            g_state2, d_state2, vgg_params2, batch, key
+        )
+
+        for v in m_vgg.values():
+            assert np.isfinite(float(v))
+        # same models/key, different content objective
+        assert float(m_vgg["content_loss"]) != pytest.approx(
+            float(m_pix["content_loss"])
+        )
+
     def test_deterministic_given_key(self, rng):
         config = tiny_config()
         batch = jnp.asarray(synthetic_batch(rng))
