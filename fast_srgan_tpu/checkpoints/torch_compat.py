@@ -198,7 +198,12 @@ def generator_params_from_torch_state_dict(
             "relu1": {"alpha": sd[f"stem.{i}.relu1.weight"]},
             "conv2": {"kernel": _oihw_to_hwio(sd[f"stem.{i}.conv2.weight"])},
         }
-    for j in range(2):
+    # stage count from the keys: the reference ships 2 (fixed 4x,
+    # model.py:97-100); 2x/8x generators trained here export 1 or 3.
+    n_up = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("upsampling.")
+    )
+    for j in range(n_up):
         p[f"upsampling_{j}"] = {
             "conv": {
                 "kernel": _oihw_to_hwio(sd[f"upsampling.{j}.conv.weight"]),
@@ -227,7 +232,8 @@ def generator_params_to_torch_state_dict(params: Mapping[str, Any]) -> Dict[str,
         sd[f"stem.{i}.conv1.weight"] = _hwio_to_oihw(np.asarray(blk["conv1"]["kernel"]))
         sd[f"stem.{i}.relu1.weight"] = np.asarray(blk["relu1"]["alpha"])
         sd[f"stem.{i}.conv2.weight"] = _hwio_to_oihw(np.asarray(blk["conv2"]["kernel"]))
-    for j in range(2):
+    n_up = len([k for k in p if str(k).startswith("upsampling_")])
+    for j in range(n_up):
         blk = p[f"upsampling_{j}"]
         sd[f"upsampling.{j}.conv.weight"] = _hwio_to_oihw(np.asarray(blk["conv"]["kernel"]))
         sd[f"upsampling.{j}.conv.bias"] = np.asarray(blk["conv"]["bias"])
@@ -330,7 +336,7 @@ def vgg19_params_from_torch_state_dict(
 GENERATOR_TORCH_PARAM_ORDER_HEAD = ["neck.0.weight", "neck.0.bias", "neck.1.weight"]
 
 
-def generator_torch_param_order(n_layers: int) -> list:
+def generator_torch_param_order(n_layers: int, n_up: int = 2) -> list:
     order = list(GENERATOR_TORCH_PARAM_ORDER_HEAD)
     for i in range(n_layers):
         order += [
@@ -339,7 +345,7 @@ def generator_torch_param_order(n_layers: int) -> list:
             f"stem.{i}.conv2.weight",
         ]
     order.append("bottleneck.0.weight")
-    for j in range(2):
+    for j in range(n_up):
         order += [
             f"upsampling.{j}.conv.weight",
             f"upsampling.{j}.conv.bias",
@@ -407,20 +413,24 @@ def _optimizer_from_torch(sd, sd_to_params, order, like_opt_state):
     return tuple(new_adam if part is adam else part for part in like_opt_state)
 
 
-def generator_optimizer_to_torch_state_dict(opt_state, n_layers: int = 8, lr: float = 1e-4):
+def generator_optimizer_to_torch_state_dict(
+    opt_state, n_layers: int = 8, lr: float = 1e-4, n_up: int = 2
+):
     """optax AdamW state -> torch AdamW state_dict (reference param order)."""
     return _optimizer_to_torch(
         opt_state, generator_params_to_torch_state_dict,
-        generator_torch_param_order(n_layers), lr,
+        generator_torch_param_order(n_layers, n_up), lr,
     )
 
 
-def generator_optimizer_from_torch_state_dict(sd, like_opt_state, n_layers: int = 8):
+def generator_optimizer_from_torch_state_dict(
+    sd, like_opt_state, n_layers: int = 8, n_up: int = 2
+):
     """torch AdamW state_dict -> optax AdamW state (structure from `like`)."""
     return _optimizer_from_torch(
         sd,
         lambda s: generator_params_from_torch_state_dict(s, n_layers),
-        generator_torch_param_order(n_layers), like_opt_state,
+        generator_torch_param_order(n_layers, n_up), like_opt_state,
     )
 
 

@@ -226,15 +226,37 @@ def build_tiled_forward(
 ):
     """Jitted exact spatially-tiled generator forward over `mesh`.
 
-    Returns fn(params, x) with x [B, H, W, 3] in [-1, 1]; W must be divisible
-    by mesh.size (exactness requires no padding — instance norm is global).
-    With ``lr_tail`` (default, 4x checkpoints only — auto-falls back for
-    other stage counts) the upsampling tail runs at LR resolution per shard
-    (see _sharded_lr_tail); exactness is unchanged.
+    Returns fn(params, x) with x [B, H, W, 3] in [-1, 1]; W must be
+    divisible by the spatial axis size (exactness requires no padding —
+    instance norm is global). With ``lr_tail`` (default, 4x checkpoints
+    only — auto-falls back for other stage counts) the upsampling tail runs
+    at LR resolution per shard (see _sharded_lr_tail); exactness is
+    unchanged.
+
+    `mesh` is either 1-D (every device holds a width slice of every frame)
+    or 2-D with a batch axis plus `axis_name` (e.g. ``("data", "sp")``):
+    the batch is sharded over the data axis while each frame's width is
+    sharded over the sp axis — batched multi-frame 4K serving where the
+    halo/psum collectives stay within each sp group. B must then divide
+    the data axis size.
     """
-    if len(mesh.axis_names) != 1:
-        raise ValueError("spatial tiling expects a 1-D mesh")
-    (mesh_axis,) = mesh.axis_names
+    if axis_name in mesh.axis_names:
+        mesh_axis = axis_name
+    elif len(mesh.axis_names) == 1:
+        (mesh_axis,) = mesh.axis_names
+    else:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} contain no spatial axis "
+            f"{axis_name!r}"
+        )
+    batch_axes = tuple(a for a in mesh.axis_names if a != mesh_axis)
+    if len(batch_axes) > 1:
+        raise ValueError(
+            f"expected at most one batch axis besides {mesh_axis!r}, got "
+            f"{mesh.axis_names}"
+        )
+    batch_axis = batch_axes[0] if batch_axes else None
+    sp_size = mesh.shape[mesh_axis]
 
     def sharded(p, x):
         n_up = len([k for k in p if k.startswith("upsampling_")])
@@ -250,16 +272,22 @@ def build_tiled_forward(
     mapped = jax.shard_map(
         sharded,
         mesh=mesh,
-        in_specs=(P(), P(None, None, mesh_axis, None)),
-        out_specs=P(None, None, mesh_axis, None),
+        in_specs=(P(), P(batch_axis, None, mesh_axis, None)),
+        out_specs=P(batch_axis, None, mesh_axis, None),
     )
 
     @jax.jit
     def forward(params, x):
         p = params["params"] if "params" in params else params
-        if x.shape[2] % mesh.size != 0:
+        if x.shape[2] % sp_size != 0:
             raise ValueError(
-                f"width {x.shape[2]} not divisible by mesh size {mesh.size}"
+                f"width {x.shape[2]} not divisible by spatial axis size "
+                f"{sp_size}"
+            )
+        if batch_axis is not None and x.shape[0] % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by {batch_axis!r} axis "
+                f"size {mesh.shape[batch_axis]}"
             )
         return mapped(p, x)
 

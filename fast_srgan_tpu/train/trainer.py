@@ -92,6 +92,7 @@ class Trainer:
                     opt_state=generator_optimizer_from_torch_state_dict(
                         sd, self.g_state.opt_state,
                         n_layers=config.generator.n_layers,
+                        n_up={2: 1, 4: 2, 8: 3}[config.data.scale_factor],
                     )
                 )
             print(f"Initialized generator from {init_pt}")
@@ -372,6 +373,7 @@ class Trainer:
                 generator_optimizer_to_torch_state_dict(
                     jax.device_get(self.g_state.opt_state), n_layers=n_layers,
                     lr=self.config.training.generator_lr,
+                    n_up={2: 1, 4: 2, 8: 3}[self.config.data.scale_factor],
                 ),
                 f"generator_optim_epoch_{step}.pt",
             )

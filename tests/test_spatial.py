@@ -103,3 +103,41 @@ class TestTiledLRTail:
         )
         np.testing.assert_allclose(lr, single, atol=3e-5)
         np.testing.assert_allclose(canon, single, atol=3e-5)
+
+
+class TestBatchedTiledForward:
+    """2-D mesh: batch over 'data' x width over 'sp' (dp x sp combined)."""
+
+    def test_2d_mesh_matches_single_device(self, small_gen, rng):
+        import numpy as onp
+        from jax.sharding import Mesh
+
+        model, params = small_gen
+        devices = onp.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devices, ("data", "sp"))
+        x = jnp.asarray(rng.uniform(-1, 1, (4, 16, 32, 3)).astype(np.float32))
+        single = np.asarray(model.apply(params, x))
+        tiled_fn = build_tiled_forward(mesh, dtype=jnp.float32)
+        tiled = np.asarray(tiled_fn(params, x))
+        assert tiled.shape == single.shape == (4, 64, 128, 3)
+        np.testing.assert_allclose(tiled, single, atol=3e-5)
+
+    def test_2d_mesh_rejects_bad_batch(self, small_gen):
+        import numpy as onp
+        from jax.sharding import Mesh
+
+        _, params = small_gen
+        mesh = Mesh(onp.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "sp"))
+        tiled_fn = build_tiled_forward(mesh, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="batch 3 not divisible"):
+            tiled_fn(params, jnp.zeros((3, 16, 32, 3)))
+
+    def test_rejects_mesh_without_sp_axis(self):
+        import numpy as onp
+        from jax.sharding import Mesh
+
+        mesh = Mesh(onp.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("a", "b"))
+        with pytest.raises(ValueError, match="no spatial axis"):
+            build_tiled_forward(mesh, dtype=jnp.float32)
