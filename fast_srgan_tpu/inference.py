@@ -82,8 +82,10 @@ class SRInferenceEngine:
       lr_tail: run the upsampling tail entirely at LR resolution via the
         exact phase-decomposition transform (ops/lr_tail.py) — measured
         1.27x end-to-end on v5e (71.9 -> 56.8 ms per 16x180x320 batch) with
-        bf16-reassociation-level output differences only. Default (None):
-        on when scale_factor is 2 or 4 and the Pallas tier is off.
+        bf16-reassociation-level output differences only; at 8x the
+        hierarchical variant measures 1.65x (152.5 -> 92.5 ms per
+        4x180x320 batch). Default (None): on whenever the Pallas tier
+        is off.
       pixel_budget: max total LR pixels per compiled batch *per device*.
         Bounds activation memory: at 4x the widest intermediate holds
         ~2 KiB per LR pixel (the 64-ch 4x-res map, or the LR tail's
@@ -111,9 +113,17 @@ class SRInferenceEngine:
         lr_tail: bool | None = None,
         pixel_budget: int | None = None,
     ):
-        self.pixel_budget = (
-            self.PIXEL_BUDGET if pixel_budget is None else pixel_budget
-        )
+        if pixel_budget is None:
+            # The measured budget is 4x geometry (~2 KiB/LR px widest
+            # intermediate). 8x roughly quadruples the per-LR-pixel
+            # footprint (the 64-ch 8x map, or the hierarchical tail's
+            # 1024-ch 2x-res map), so derate accordingly; 2x keeps the
+            # conservative 4x number.
+            pixel_budget = (
+                self.PIXEL_BUDGET // 4 if scale_factor == 8
+                else self.PIXEL_BUDGET
+            )
+        self.pixel_budget = pixel_budget
         self.SCALE = scale_factor
         self.model = Generator(
             n_filters=n_filters, n_layers=n_layers, dtype=dtype,
@@ -125,7 +135,7 @@ class SRInferenceEngine:
                 "Pallas tier; use bucket=0 or use_pallas=False"
             )
         if lr_tail is None:
-            lr_tail = scale_factor in (2, 4) and not use_pallas
+            lr_tail = not use_pallas  # all scales: 2/4 full-LR, 8 hierarchical
         self.lr_tail = lr_tail
         if lr_tail:
             from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail

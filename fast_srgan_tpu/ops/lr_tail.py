@@ -40,7 +40,8 @@ Inference-only by design (training keeps the canonical graph so checkpoints
 and the GAN losses stay on the reference formulation). scale_factor=4 (the
 reference's fixed factor and the shipped checkpoints) uses the full
 two-stage decomposition below; scale_factor=2 uses the single-stage
-analogue (:func:`lr_tail_2x`); scale_factor=8 keeps the canonical forward.
+analogue (:func:`lr_tail_2x`); scale_factor=8 runs hierarchically — stage 0
+canonical to 2x, then the 4x transform at 2x res (:func:`lr_tail_8x`).
 """
 
 from __future__ import annotations
@@ -179,6 +180,50 @@ def lr_tail_2x(
     return pixel_shuffle_nhwc(z, 2)
 
 
+def lr_tail_8x(
+    y: jnp.ndarray,
+    params: Dict[str, Any],
+    dtype: Any = jnp.float32,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Apply the 8x upsampling tail with at most 2x-resolution tensors.
+
+    Hierarchical decomposition: stage 0 runs canonically (conv at LR ->
+    shuffle -> PReLU, producing the 2x-res trunk), then stages 1-2 + head
+    are exactly the 4x two-stage transform (:func:`lr_tail`) evaluated at
+    2x resolution with the param subtree shifted by one stage. The 4x- and
+    8x-resolution intermediates — the bulk of the canonical tail's HBM
+    traffic — are never materialized, and no new kernel scatters beyond
+    the 4x transform's are needed (the direct single-level decomposition
+    would take 16- and 64-phase scatters, ~1200 `.at[].set`s).
+
+    Masked path: the 2x mask is the LR mask with each pixel repeated 2x2
+    (valid region 2*vh x 2*vw). Masking the phase-packed 2x tensors equals
+    masking the unpacked 4x/8x tensors because packed position (i, j)
+    phase (p, q) is output position (2i+p, 2j+q): i < 2*vh iff
+    2i+p < 4*vh. Exact (see tests/test_lr_tail.py).
+    """
+    up0 = params["upsampling_0"]
+    y = y.astype(dtype)
+    a0 = _conv(y, up0["conv"]["kernel"].astype(dtype), ((1, 1), (1, 1)))
+    a0 = a0 + up0["conv"]["bias"].astype(dtype)
+    if mask is not None:
+        a0 = a0 * mask.astype(dtype)
+    a0 = pixel_shuffle_nhwc(a0, 2)
+    alpha0 = up0["relu"]["alpha"].astype(dtype)
+    y2 = jnp.where(a0 >= 0, a0, alpha0 * a0)  # [B, 2H, 2W, F]
+
+    mask2 = None
+    if mask is not None:
+        mask2 = jnp.repeat(jnp.repeat(mask, 2, axis=1), 2, axis=2)
+    sub = {
+        "upsampling_0": params["upsampling_1"],
+        "upsampling_1": params["upsampling_2"],
+        "head_conv": params["head_conv"],
+    }
+    return lr_tail(y2, sub, dtype=dtype, mask=mask2)
+
+
 def lr_tail(
     y: jnp.ndarray,
     params: Dict[str, Any],
@@ -244,17 +289,16 @@ def generator_apply_lr_tail(
 ) -> jnp.ndarray:
     """Drop-in for ``model.apply(variables, x)`` with the LR-domain tail.
 
-    ``model`` is a Generator with scale_factor 2 or 4; the param tree is the
-    canonical one (no conversion step — rearrangement happens in-graph).
+    ``model`` is a Generator with scale_factor 2, 4, or 8; the param tree is
+    the canonical one (no conversion step — rearrangement happens in-graph).
     ``valid_hw`` enables the exact zero-pad-masked forward (see
-    Generator.__call__); the tail runs at LR so the LR mask covers it whole.
-    scale_factor=8 keeps the canonical forward: its decomposition would need
-    16- and 64-phase kernel scatters (~1200 in-graph `.at[].set`s) for a
-    tail that is a smaller fraction of an already larger program.
+    Generator.__call__). 2x/4x run the whole tail at LR resolution;
+    8x runs hierarchically with at most 2x-resolution tensors
+    (:func:`lr_tail_8x`).
     """
-    if model.scale_factor not in (2, 4):
+    if model.scale_factor not in (2, 4, 8):
         raise ValueError(
-            "lr_tail supports scale_factor 2 or 4 only "
+            "lr_tail supports scale_factor 2, 4, or 8 only "
             f"(got {model.scale_factor}); use the canonical forward"
         )
     y = model.apply(variables, x, trunk_only=True, valid_hw=valid_hw)
@@ -265,5 +309,5 @@ def generator_apply_lr_tail(
         mask, _ = valid_mask_nhwc(
             y.shape[1], y.shape[2], valid_hw[0], valid_hw[1]
         )
-    tail = lr_tail if model.scale_factor == 4 else lr_tail_2x
+    tail = {2: lr_tail_2x, 4: lr_tail, 8: lr_tail_8x}[model.scale_factor]
     return tail(y, variables["params"], dtype=model.dtype, mask=mask)

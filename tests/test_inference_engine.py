@@ -240,7 +240,7 @@ class TestLRTailEngine:
         # uint8 bit differently.
         assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
 
-    def test_auto_on_for_2x_off_for_8x(self, rng):
+    def test_auto_on_for_all_scales(self, rng):
         model = Generator(n_filters=8, n_layers=1, scale_factor=2)
         params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
         engine = SRInferenceEngine(
@@ -258,7 +258,12 @@ class TestLRTailEngine:
             params8, n_filters=8, n_layers=1, dtype=jnp.float32,
             scale_factor=8,
         )
-        assert not engine8.lr_tail  # 8x keeps the canonical forward
+        assert engine8.lr_tail  # hierarchical tail (ops/lr_tail.lr_tail_8x)
+        assert engine8.pixel_budget == SRInferenceEngine.PIXEL_BUDGET // 4
+        out8 = engine8.upscale_batch(
+            rng.integers(0, 256, (1, 9, 10, 3), dtype=np.uint8)
+        )
+        assert out8.shape == (1, 72, 80, 3)
 
 
 class TestArchFromParams:

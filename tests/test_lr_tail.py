@@ -94,12 +94,46 @@ class TestLRTailExactness:
                 atol=2e-5,
             )
 
-    def test_rejects_8x(self):
-        model = Generator(n_filters=16, n_layers=1, scale_factor=8)
-        x = jnp.zeros((1, 8, 8, 3))
-        v = model.init(jax.random.PRNGKey(0), x)
-        with pytest.raises(ValueError, match="scale_factor 2 or 4"):
-            generator_apply_lr_tail(model, v, x)
+    @pytest.mark.parametrize("h,w", [(12, 12), (7, 9)])
+    def test_8x_matches_canonical_fp32(self, h, w):
+        model = Generator(
+            n_filters=16, n_layers=1, scale_factor=8, dtype=jnp.float32
+        )
+        x = jax.random.uniform(
+            jax.random.PRNGKey(h - w), (2, h, w, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        ref = model.apply(v, x)
+        got = generator_apply_lr_tail(model, v, x)
+        assert got.shape == ref.shape == (2, 8 * h, 8 * w, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_8x_masked_matches_canonical(self):
+        model = Generator(n_filters=16, n_layers=1, scale_factor=8,
+                          dtype=jnp.float32)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(11), (2, 10, 10, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        vh = jnp.array([10, 7], jnp.int32)
+        vw = jnp.array([10, 8], jnp.int32)
+        from fast_srgan_tpu.ops.norm import valid_mask_nhwc
+
+        mask, _ = valid_mask_nhwc(10, 10, vh, vw)
+        ref = model.apply(v, x * mask, valid_hw=(vh, vw))
+        got = generator_apply_lr_tail(model, v, x * mask, valid_hw=(vh, vw))
+        for b, (h, w) in enumerate([(10, 10), (7, 8)]):
+            np.testing.assert_allclose(
+                np.asarray(got)[b, : 8 * h, : 8 * w],
+                np.asarray(ref)[b, : 8 * h, : 8 * w],
+                atol=2e-5,
+            )
+
+    def test_rejects_unsupported_scale(self):
+        # the guard fires before any apply, so no params are needed
+        model = Generator(n_filters=16, n_layers=1, scale_factor=3)
+        with pytest.raises(ValueError, match="scale_factor 2, 4, or 8"):
+            generator_apply_lr_tail(model, {}, jnp.zeros((1, 8, 8, 3)))
 
     def test_trunk_only_is_prefix_of_full(self):
         """trunk_only returns the LR feature map the tail consumes, and the
