@@ -194,6 +194,50 @@ def _sharded_lr_tail(axis_name: str, dtype: Any):
     return tail
 
 
+def _sharded_lr_tail_2x(axis_name: str, dtype: Any):
+    """scale_factor=2 analogue of :func:`_sharded_lr_tail`: the single
+    stage conv runs at LR verbatim and the 4-phase dense head
+    (ops/lr_tail._head_kernel_2x) reuses the standard one-column halo."""
+    from fast_srgan_tpu.ops.lr_tail import _head_kernel_2x
+
+    conv3 = _halo_conv(axis_name)
+
+    def tail(p: Dict[str, Any], y: jnp.ndarray) -> jnp.ndarray:
+        up0 = p["upsampling_0"]
+        y = y.astype(dtype)
+        a1 = _prelu(conv3(y, up0["conv"]), up0["relu"]["alpha"])
+        kd = _head_kernel_2x(p["head_conv"]["kernel"])
+        b12 = jnp.repeat(p["head_conv"]["bias"], 4)
+        z = conv3(a1, {"kernel": kd, "bias": b12})
+        return pixel_shuffle_nhwc(jnp.tanh(z.astype(jnp.float32)), 2)
+
+    return tail
+
+
+def _sharded_lr_tail_8x(axis_name: str, dtype: Any):
+    """scale_factor=8, hierarchical (ops/lr_tail.lr_tail_8x under width
+    sharding): stage 0 runs canonically per shard (pixel shuffle is
+    width-local — shard column i emits global columns 2i, 2i+1 inside the
+    same shard, so the width partition stays contiguous), then the 4x
+    transform runs at 2x resolution over the shifted param subtree."""
+    conv3 = _halo_conv(axis_name)
+    tail4 = _sharded_lr_tail(axis_name, dtype)
+
+    def tail(p: Dict[str, Any], y: jnp.ndarray) -> jnp.ndarray:
+        up0 = p["upsampling_0"]
+        y = y.astype(dtype)
+        a0 = pixel_shuffle_nhwc(conv3(y, up0["conv"]), 2)
+        y2 = _prelu(a0, up0["relu"]["alpha"])  # [B, 2H, 2W/n, F]
+        sub = {
+            "upsampling_0": p["upsampling_1"],
+            "upsampling_1": p["upsampling_2"],
+            "head_conv": p["head_conv"],
+        }
+        return tail4(sub, y2)
+
+    return tail
+
+
 def _dist_instance_norm(axis_name: str, eps: float = 1e-5):
     """Instance norm with statistics psum'd across the spatial shards."""
 
@@ -228,10 +272,10 @@ def build_tiled_forward(
 
     Returns fn(params, x) with x [B, H, W, 3] in [-1, 1]; W must be
     divisible by the spatial axis size (exactness requires no padding —
-    instance norm is global). With ``lr_tail`` (default, 4x checkpoints
-    only — auto-falls back for other stage counts) the upsampling tail runs
-    at LR resolution per shard (see _sharded_lr_tail); exactness is
-    unchanged.
+    instance norm is global). With ``lr_tail`` (default; 2x/4x/8x — the
+    full-LR, two-stage and hierarchical variants respectively) the
+    upsampling tail runs at reduced resolution per shard (see
+    _sharded_lr_tail*); exactness is unchanged.
 
     `mesh` is either 1-D (every device holds a width slice of every frame)
     or 2-D with a batch axis plus `axis_name` (e.g. ``("data", "sp")``):
@@ -258,15 +302,19 @@ def build_tiled_forward(
     batch_axis = batch_axes[0] if batch_axes else None
     sp_size = mesh.shape[mesh_axis]
 
+    tail_builders = {
+        1: _sharded_lr_tail_2x, 2: _sharded_lr_tail, 3: _sharded_lr_tail_8x
+    }
+
     def sharded(p, x):
         n_up = len([k for k in p if k.startswith("upsampling_")])
+        builder = tail_builders.get(n_up) if lr_tail else None
         return generator_forward(
             p, x,
             conv=_halo_conv(mesh_axis),
             norm=_dist_instance_norm(mesh_axis),
             dtype=dtype,
-            tail=_sharded_lr_tail(mesh_axis, dtype)
-            if (lr_tail and n_up == 2) else None,
+            tail=builder(mesh_axis, dtype) if builder else None,
         )
 
     mapped = jax.shard_map(

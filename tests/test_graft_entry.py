@@ -38,8 +38,12 @@ class TestEntry:
 class TestDryrunMultichip:
     def test_eight_virtual_devices(self, graft, capsys):
         graft.dryrun_multichip(8)
-        assert "dryrun_multichip(8) ok" in capsys.readouterr().out
+        out = capsys.readouterr().out
+        assert "dryrun_multichip(8) dp gan_step ok" in out
+        assert "dryrun_multichip(8) sp tiled forward ok" in out
 
     def test_four_devices(self, graft, capsys):
         graft.dryrun_multichip(4)
-        assert "dryrun_multichip(4) ok" in capsys.readouterr().out
+        out = capsys.readouterr().out
+        assert "dryrun_multichip(4) dp gan_step ok" in out
+        assert "dryrun_multichip(4) sp tiled forward ok" in out

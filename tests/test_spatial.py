@@ -86,6 +86,19 @@ class TestTiledOtherScales:
         assert tiled.shape == single.shape == (1, 32, 128, 3)
         np.testing.assert_allclose(tiled, single, atol=3e-5)
 
+    def test_8x_tiled_matches_single(self, rng):
+        # hierarchical sharded tail: stage 0 per shard, 4x transform at 2x
+        model = Generator(n_filters=8, n_layers=1, scale_factor=8)
+        params = model.init(jax.random.key(2), jnp.zeros((1, 8, 8, 3)))
+        mesh = make_mesh(8, axis_name="sp")
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 8, 32, 3)).astype(np.float32))
+        single = np.asarray(model.apply(params, x))
+        tiled = np.asarray(
+            build_tiled_forward(mesh, dtype=jnp.float32)(params, x)
+        )
+        assert tiled.shape == single.shape == (1, 64, 256, 3)
+        np.testing.assert_allclose(tiled, single, atol=3e-5)
+
 
 class TestTiledLRTail:
     def test_both_tail_modes_match_single_device(self, small_gen, rng):
