@@ -343,7 +343,16 @@ def build_tiled_forward(
 
 
 def tiled_upscale_u8(params, frame_u8: np.ndarray, mesh: Mesh, dtype=jnp.bfloat16):
-    """Convenience: uint8 HWC frame -> uint8 4x frame, tiled across `mesh`."""
+    """Convenience: uint8 HWC frame -> uint8 upscaled frame, tiled across
+    `mesh`. Single-frame by design, so the mesh must be 1-D (every device
+    holds a width slice); for batched frames over a 2-D ("data", "sp")
+    mesh use :func:`build_tiled_forward` directly."""
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"tiled_upscale_u8 shards ONE frame and needs a 1-D mesh, got "
+            f"axes {mesh.axis_names}; use build_tiled_forward for batched "
+            "2-D ('data','sp') meshes"
+        )
     forward = build_tiled_forward(mesh, dtype=dtype)
     x = jnp.asarray(frame_u8[None]).astype(jnp.float32) / 127.5 - 1.0
     x = jax.device_put(x, NamedSharding(mesh, P(None, None, mesh.axis_names[0], None)))

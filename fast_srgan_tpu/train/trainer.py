@@ -92,7 +92,7 @@ class Trainer:
                     opt_state=generator_optimizer_from_torch_state_dict(
                         sd, self.g_state.opt_state,
                         n_layers=config.generator.n_layers,
-                        n_up={2: 1, 4: 2, 8: 3}[config.data.scale_factor],
+                        n_up=self._n_up(),
                     )
                 )
             print(f"Initialized generator from {init_pt}")
@@ -103,6 +103,12 @@ class Trainer:
         self._gan_step = 0  # GAN loop step (checkpoint/metric key)
 
     # -- helpers --------------------------------------------------------------
+
+    def _n_up(self) -> int:
+        """Upsampling-stage count, read off the actual param tree (the
+        single source the .pt converters also key on)."""
+        p = self.g_state.params["params"]
+        return sum(1 for k in p if str(k).startswith("upsampling_"))
 
     def _put(self, batch_u8: np.ndarray):
         if self.mesh is not None:
@@ -373,7 +379,7 @@ class Trainer:
                 generator_optimizer_to_torch_state_dict(
                     jax.device_get(self.g_state.opt_state), n_layers=n_layers,
                     lr=self.config.training.generator_lr,
-                    n_up={2: 1, 4: 2, 8: 3}[self.config.data.scale_factor],
+                    n_up=self._n_up(),
                 ),
                 f"generator_optim_epoch_{step}.pt",
             )

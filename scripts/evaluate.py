@@ -59,7 +59,8 @@ def main() -> None:
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     scale = arch["scale_factor"]
     model = Generator(
-        n_filters=args.n_filters or arch["n_filters"],
+        n_filters=args.n_filters if args.n_filters is not None
+        else arch["n_filters"],
         n_layers=args.n_layers if args.n_layers is not None
         else arch["n_layers"],
         scale_factor=scale,

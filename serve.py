@@ -62,7 +62,7 @@ def main() -> None:
                 + ", ".join(DEFAULT_CHECKPOINTS) + ")"
             )
 
-    config = load_config(args.config)
+    config = load_config(args.config)  # kernel options only; arch below
     from fast_srgan_tpu.inference import arch_from_params
 
     params = load_generator_params(ckpt)
@@ -73,6 +73,7 @@ def main() -> None:
         n_layers=arch["n_layers"],
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         bucket=args.bucket,
+        use_pallas=config.kernels.use_pallas,
         scale_factor=arch["scale_factor"],
     )
     # Warm the common program shape before accepting traffic (first TPU
