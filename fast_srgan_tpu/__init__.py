@@ -24,6 +24,7 @@ __all__ = [
     "Discriminator",
     "VGG19Features",
     "SRInferenceEngine",
+    "arch_from_params",
     "Trainer",
     "load_config",
     "make_server",
@@ -40,6 +41,10 @@ def __getattr__(name):  # lazy top-level API (keeps bare import light)
         from fast_srgan_tpu.inference import SRInferenceEngine
 
         return SRInferenceEngine
+    if name == "arch_from_params":
+        from fast_srgan_tpu.inference import arch_from_params
+
+        return arch_from_params
     if name == "Trainer":
         from fast_srgan_tpu.train.trainer import Trainer
 
