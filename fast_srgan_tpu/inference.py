@@ -82,10 +82,10 @@ class SRInferenceEngine:
       lr_tail: run the upsampling tail entirely at LR resolution via the
         exact phase-decomposition transform (ops/lr_tail.py) — measured
         1.27x end-to-end on v5e (71.9 -> 56.8 ms per 16x180x320 batch) with
-        bf16-reassociation-level output differences only; at 8x the
+        bf16-reassociation-level output differences only; the 8x
         hierarchical variant measures 1.65x (152.5 -> 92.5 ms per
-        4x180x320 batch). Default (None): on whenever the Pallas tier
-        is off.
+        4x180x320 batch) and the 2x single-stage one 1.09x. Default
+        (None): on whenever the Pallas tier is off.
       pixel_budget: max total LR pixels per compiled batch *per device*.
         Bounds activation memory: at 4x the widest intermediate holds
         ~2 KiB per LR pixel (the 64-ch 4x-res map, or the LR tail's
