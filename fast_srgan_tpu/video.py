@@ -130,3 +130,97 @@ def upscale_video(
         writer.release()
     seconds = time.perf_counter() - start
     return {"frames": frames, "fps_in": fps, "seconds": seconds}
+
+
+def upscale_videos(
+    engine: SRInferenceEngine,
+    input_paths: list,
+    output_paths: list,
+    batch_size: int = 8,
+    limit: Optional[int] = None,
+    codec: str = "mp4v",
+) -> dict:
+    """Upscale N video streams concurrently through ONE device pipeline.
+
+    Production multi-tenant serving: frames are drawn round-robin from all
+    active streams and packed into shared batches, so one chip serves N
+    cameras/clips at full batch efficiency instead of N under-filled
+    single-stream pipelines (batch 1..7 compiles are the measured v5e
+    pathology — docs/DESIGN.md "Batch-size anatomy"). Per-stream frame
+    order is preserved (``SRInferenceEngine.stream`` yields in input
+    order, so outputs unzip back by the recorded draw order). All inputs
+    must share one frame size — they feed a single compiled program; call
+    per size group for mixed fleets (the serving daemon's bucketing is
+    the image-side answer). Each stream ends at its own length; remaining
+    streams keep batching.
+
+    Returns {frames, per_stream, seconds}.
+    """
+    import collections
+    import time
+
+    import cv2
+
+    if len(input_paths) != len(output_paths):
+        raise ValueError("input_paths and output_paths must pair up")
+
+    sizes, fpses = [], []
+    for p in input_paths:
+        cap = cv2.VideoCapture(p)
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {p}")
+        fpses.append(cap.get(cv2.CAP_PROP_FPS) or 24.0)
+        sizes.append((
+            int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        ))
+        cap.release()
+    if len(set(sizes)) != 1:
+        raise ValueError(
+            f"all streams must share one frame size, got {sorted(set(sizes))}"
+            " — group by size and call once per group"
+        )
+    w, h = sizes[0]
+
+    s = engine.SCALE
+    writers = []
+    for out_path, fps in zip(output_paths, fpses):
+        wr = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*codec), fps, (s * w, s * h)
+        )
+        if not wr.isOpened():
+            for other in writers:
+                other.release()
+            raise RuntimeError(f"cannot open video writer: {out_path}")
+        writers.append(wr)
+
+    draw_order: collections.deque = collections.deque()
+
+    def merged():
+        its = [iter_video_frames(p, limit) for p in input_paths]
+        active = list(range(len(its)))
+        while active:
+            for i in list(active):
+                try:
+                    frame = next(its[i])
+                except StopIteration:
+                    active.remove(i)
+                    continue
+                draw_order.append(i)
+                yield frame
+
+    start = time.perf_counter()
+    per_stream = [0] * len(input_paths)
+    try:
+        for sr_rgb in engine.stream(merged(), batch_size=batch_size):
+            i = draw_order.popleft()
+            writers[i].write(np.ascontiguousarray(sr_rgb[:, :, ::-1]))
+            per_stream[i] += 1
+    finally:
+        for wr in writers:
+            wr.release()
+    return {
+        "frames": sum(per_stream),
+        "per_stream": per_stream,
+        "seconds": time.perf_counter() - start,
+    }

@@ -58,9 +58,10 @@ def main(argv=None) -> None:
     parser.add_argument("--image_dir", default=None, type=str)
     parser.add_argument("--output_dir", default=None, type=str)
     parser.add_argument(
-        "--video", default=None, type=str,
-        help="upscale a video file instead of an image directory "
-        "(streamed: decode, batched device pipeline, and encode overlap)",
+        "--video", default=None, type=str, nargs="+",
+        help="upscale video file(s) instead of an image directory "
+        "(streamed: decode, batched device pipeline, and encode overlap; "
+        "several files of one frame size share device batches)",
     )
     parser.add_argument(
         "--video_out", default=None, type=str,
@@ -123,19 +124,43 @@ def main(argv=None) -> None:
     )
 
     if args.video is not None:
-        from fast_srgan_tpu.video import upscale_video
-
-        out_path = args.video_out or os.path.join(
-            args.output_dir, os.path.basename(args.video)
-        )
         if args.output_dir:
             os.makedirs(args.output_dir, exist_ok=True)
-        stats = upscale_video(
-            engine, args.video, out_path, batch_size=args.batch_size
+        if len(args.video) == 1:
+            from fast_srgan_tpu.video import upscale_video
+
+            out_path = args.video_out or os.path.join(
+                args.output_dir, os.path.basename(args.video[0])
+            )
+            stats = upscale_video(
+                engine, args.video[0], out_path, batch_size=args.batch_size
+            )
+            print(
+                f"Done: {stats['frames']} frames in {stats['seconds']:.2f}s "
+                f"({stats['frames'] / max(stats['seconds'], 1e-9):.1f} fps) "
+                f"-> {out_path}"
+            )
+            return
+        # several streams share one device pipeline (batches interleave)
+        if args.video_out is not None:
+            parser.error("--video_out is for a single video; "
+                         "use --output_dir with several")
+        if not args.output_dir:
+            parser.error("several --video files need --output_dir")
+        from fast_srgan_tpu.video import upscale_videos
+
+        outs = [
+            os.path.join(args.output_dir, os.path.basename(v))
+            for v in args.video
+        ]
+        stats = upscale_videos(
+            engine, args.video, outs, batch_size=args.batch_size
         )
+        fps = stats["frames"] / max(stats["seconds"], 1e-9)
         print(
-            f"Done: {stats['frames']} frames in {stats['seconds']:.2f}s "
-            f"({stats['frames'] / max(stats['seconds'], 1e-9):.1f} fps) -> {out_path}"
+            f"Done: {len(args.video)} streams, {stats['frames']} frames "
+            f"({stats['per_stream']}) in {stats['seconds']:.2f}s "
+            f"({fps:.1f} fps aggregate) -> {args.output_dir}"
         )
         return
 

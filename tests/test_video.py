@@ -81,3 +81,64 @@ class TestScale2Video:
             n += 1
         cap.release()
         assert n == 9
+
+
+class TestMultiStream:
+    """upscale_videos: N streams share one device pipeline."""
+
+    def _make_video(self, path, n_frames, seed, size=(32, 16)):
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 24, size
+        )
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
+        for i in range(n_frames):
+            writer.write(np.roll(base, i, axis=1))
+        writer.release()
+        return path
+
+    def test_two_streams_match_single_stream_outputs(self, tmp_path):
+        from fast_srgan_tpu.video import upscale_videos
+
+        a = self._make_video(str(tmp_path / "a.mp4"), 7, seed=1)
+        b = self._make_video(str(tmp_path / "b.mp4"), 5, seed=2)  # shorter
+
+        model = Generator(n_filters=8, n_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32
+        )
+
+        outs = [str(tmp_path / "a4x.mp4"), str(tmp_path / "b4x.mp4")]
+        stats = upscale_videos(engine, [a, b], outs, batch_size=4)
+        assert stats["per_stream"] == [7, 5]
+
+        # per-stream outputs must equal the single-stream pipeline's
+        # (identical per-sample math regardless of batch composition;
+        # mp4 re-encode is lossy so compare via a fresh decode of both)
+        for src, multi, n in [(a, outs[0], 7), (b, outs[1], 5)]:
+            single = str(tmp_path / ("ref_" + src.rsplit("/", 1)[1]))
+            upscale_video(engine, src, single, batch_size=4)
+            fm = list(iter_video_frames(multi))
+            fs = list(iter_video_frames(single))
+            assert len(fm) == len(fs) == n
+            for x, y in zip(fm, fs):
+                np.testing.assert_array_equal(x, y)
+
+    def test_mixed_sizes_rejected(self, tmp_path):
+        from fast_srgan_tpu.video import upscale_videos
+
+        a = self._make_video(str(tmp_path / "a.mp4"), 3, seed=1)
+        c = self._make_video(
+            str(tmp_path / "c.mp4"), 3, seed=3, size=(48, 16)
+        )
+        model = Generator(n_filters=8, n_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32
+        )
+        with pytest.raises(ValueError, match="one frame size"):
+            upscale_videos(
+                engine, [a, c],
+                [str(tmp_path / "x.mp4"), str(tmp_path / "y.mp4")],
+            )
