@@ -64,7 +64,7 @@ def arch_from_params(params: Dict[str, Any]) -> Dict[str, int]:
 
 
 class SRInferenceEngine:
-    """Jitted 4x SR engine over a fixed parameter set.
+    """Jitted SR engine (scale 2/4/8) over a fixed parameter set.
 
     Args:
       params: Flax param pytree for :class:`Generator`.
@@ -234,7 +234,7 @@ class SRInferenceEngine:
     # -- core ---------------------------------------------------------------
 
     def upscale_batch(self, batch_u8: np.ndarray) -> np.ndarray:
-        """[B, H, W, 3] uint8 -> [B, 4H, 4W, 3] uint8.
+        """[B, H, W, 3] uint8 -> [B, s*H, s*W, 3] uint8 (s = SCALE).
 
         Compiled batch sizes follow :meth:`effective_batch_size`: an input
         batch of 2..7 runs zero-padded to the compiled size (instance norm

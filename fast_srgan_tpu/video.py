@@ -68,9 +68,11 @@ def _decode_frames(
                     break
 
 
-def iter_video_frames(path: str, limit: Optional[int] = None) -> Iterator[np.ndarray]:
+def iter_video_frames(
+    path: str, limit: Optional[int] = None, buffer: int = 64
+) -> Iterator[np.ndarray]:
     """Decode RGB uint8 frames on a background thread (bounded queue)."""
-    q: queue.Queue = queue.Queue(maxsize=64)
+    q: queue.Queue = queue.Queue(maxsize=max(1, buffer))
     stop = threading.Event()
     t = threading.Thread(
         target=_decode_frames, args=(path, q, limit, stop), daemon=True
@@ -96,40 +98,19 @@ def upscale_video(
     limit: Optional[int] = None,
     codec: str = "mp4v",
 ) -> dict:
-    """4x-upscale a video file. Returns {frames, fps_in, seconds}."""
-    import time
+    """Upscale a video file. Returns {frames, fps_in, seconds}.
 
-    import cv2
-
-    cap = cv2.VideoCapture(input_path)
-    if not cap.isOpened():
-        raise FileNotFoundError(f"cannot open video: {input_path}")
-    fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
-    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    cap.release()
-
-    # Writer size must match the engine's scale exactly: cv2 silently DROPS
-    # wrong-sized frames (an empty output that still reports success).
-    s = engine.SCALE
-    writer = cv2.VideoWriter(
-        output_path, cv2.VideoWriter_fourcc(*codec), fps, (s * w, s * h)
+    The single-stream case of :func:`upscale_videos` (one probe/writer/
+    stream implementation for both)."""
+    stats = upscale_videos(
+        engine, [input_path], [output_path],
+        batch_size=batch_size, limit=limit, codec=codec,
     )
-    if not writer.isOpened():
-        raise RuntimeError(f"cannot open video writer: {output_path}")
-
-    start = time.perf_counter()
-    frames = 0
-    try:
-        for sr_rgb in engine.stream(
-            iter_video_frames(input_path, limit), batch_size=batch_size
-        ):
-            writer.write(np.ascontiguousarray(sr_rgb[:, :, ::-1]))  # RGB->BGR
-            frames += 1
-    finally:
-        writer.release()
-    seconds = time.perf_counter() - start
-    return {"frames": frames, "fps_in": fps, "seconds": seconds}
+    return {
+        "frames": stats["frames"],
+        "fps_in": stats["fps_in"][0],
+        "seconds": stats["seconds"],
+    }
 
 
 def upscale_videos(
@@ -154,7 +135,7 @@ def upscale_videos(
     the image-side answer). Each stream ends at its own length; remaining
     streams keep batching.
 
-    Returns {frames, per_stream, seconds}.
+    Returns {frames, per_stream, fps_in, seconds}.
     """
     import collections
     import time
@@ -163,6 +144,11 @@ def upscale_videos(
 
     if len(input_paths) != len(output_paths):
         raise ValueError("input_paths and output_paths must pair up")
+    if not input_paths:
+        raise ValueError("no input videos")
+    if len(set(output_paths)) != len(output_paths):
+        # two writers on one file interleave into a corrupt container
+        raise ValueError(f"duplicate output paths: {sorted(output_paths)}")
 
     sizes, fpses = [], []
     for p in input_paths:
@@ -182,6 +168,8 @@ def upscale_videos(
         )
     w, h = sizes[0]
 
+    # Writer size must match the engine's scale exactly: cv2 silently DROPS
+    # wrong-sized frames (an empty output that still reports success).
     s = engine.SCALE
     writers = []
     for out_path, fps in zip(output_paths, fpses):
@@ -197,7 +185,13 @@ def upscale_videos(
     draw_order: collections.deque = collections.deque()
 
     def merged():
-        its = [iter_video_frames(p, limit) for p in input_paths]
+        # Per-stream decode lookahead bounded so host memory stays ~2
+        # batches total across N streams, not N*64 frames.
+        buf = max(2, (2 * batch_size + len(input_paths) - 1)
+                  // len(input_paths))
+        its = [
+            iter_video_frames(p, limit, buffer=buf) for p in input_paths
+        ]
         active = list(range(len(its)))
         while active:
             for i in list(active):
@@ -222,5 +216,6 @@ def upscale_videos(
     return {
         "frames": sum(per_stream),
         "per_stream": per_stream,
+        "fps_in": fpses,
         "seconds": time.perf_counter() - start,
     }
