@@ -51,6 +51,13 @@ def main() -> None:
         help="how long a request waits for batch-mates before dispatch",
     )
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument(
+        "--warm", default=None,
+        help="comma-separated HxW LR shapes to precompile before accepting "
+        "traffic, e.g. 90x160,180x320 (each compiles at max_batch and at "
+        "the trailing-singleton batch; shapes round up to the bucket "
+        "grid). Default: one bucket-sized probe.",
+    )
     args = parser.parse_args()
 
     ckpt = args.checkpoint
@@ -76,10 +83,24 @@ def main() -> None:
         use_pallas=config.kernels.use_pallas,
         scale_factor=arch["scale_factor"],
     )
-    # Warm the common program shape before accepting traffic (first TPU
-    # compile is 20-240s; a cold-start request would eat it).
-    warm = np.zeros((1, args.bucket or 32, args.bucket or 32, 3), np.uint8)
-    engine.upscale_batch(warm)
+    # Warm compiled programs before accepting traffic (first TPU compile
+    # is 20-240s; a cold-start request would eat it). Warming goes through
+    # upscale_images(pad_singletons=True) — exactly the call the batcher
+    # makes — so each listed shape compiles the one program traffic will
+    # actually hit for its bucket.
+    if args.warm:
+        shapes = []
+        for spec in args.warm.split(","):
+            h, w = (int(v) for v in spec.lower().split("x"))
+            shapes.append((h, w))
+    else:
+        shapes = [(args.bucket or 32, args.bucket or 32)]
+    for h, w in shapes:
+        print(f"warming {h}x{w} ...", flush=True)
+        engine.upscale_images(
+            [np.zeros((h, w, 3), np.uint8)],
+            batch_size=args.max_batch, pad_singletons=True,
+        )
 
     server = make_server(
         engine, host=args.host, port=args.port,
