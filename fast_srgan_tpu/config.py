@@ -88,6 +88,7 @@ DEFAULTS: dict = {
         # --- TPU additions ---
         "bf16": True,  # bf16 compute, fp32 params/optimizer
         "remat": False,  # rematerialize stem blocks (memory for FLOPs)
+        "grad_accum": 1,  # micro-batches per optimizer step (k*B effective)
         "vgg_weights": None,  # torchvision vgg19 .pth path, or "init" (profiling)
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt

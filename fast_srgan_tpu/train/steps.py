@@ -158,14 +158,52 @@ def build_bundle(
 
     # ---------------- step definitions ----------------
 
+    # Gradient accumulation (training.grad_accum=k, default 1): a pure
+    # memory knob — the step still takes the full training.batch_size
+    # batch but scans over k micro-batches of B/k, averaging gradients
+    # before the (single) optimizer update, so activation memory is that
+    # of batch B/k while the data/optimizer semantics are unchanged. The
+    # losses are means over equally-sized micro-batches, so the averaged
+    # gradient equals the one big-batch gradient exactly (fp32 reduction
+    # order aside); verified in tests/test_train_steps.py. Composes with
+    # the mesh: the scan happens per device over its own batch shard.
+    accum = int(config.training.get("grad_accum", 1) or 1)
+
+    def _microbatches(hr_u8: jnp.ndarray) -> jnp.ndarray:
+        if hr_u8.shape[0] % accum:
+            raise ValueError(
+                f"training.batch_size {hr_u8.shape[0]} not divisible by "
+                f"training.grad_accum {accum}"
+            )
+        return hr_u8.reshape(accum, -1, *hr_u8.shape[1:])
+
+    def _accum_grads(loss_and_grad_fn, params, xs):
+        """Scan loss_and_grad_fn(params, x) over xs; mean grads + metrics."""
+        def body(acc, x):
+            out, grads = loss_and_grad_fn(params, x)
+            return jax.tree.map(jnp.add, acc, grads), out
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        grads_sum, outs = jax.lax.scan(body, zeros, xs)
+        mean_grads = jax.tree.map(lambda g: g / accum, grads_sum)
+        return mean_grads, jax.tree.map(jnp.mean, outs)
+
     def _pretrain(g_state: TrainState, hr_u8: jnp.ndarray):
-        lr_img, hr_img = prepare_batch(hr_u8, lr_size)
+        def loss_and_grad(params, hr_i):
+            lr_img, hr_img = prepare_batch(hr_i, lr_size)
 
-        def loss_fn(params):
-            sr = generator.apply(params, lr_img)
-            return smooth_l1_loss(sr, hr_img)
+            def loss_fn(p):
+                sr = generator.apply(p, lr_img)
+                return smooth_l1_loss(sr, hr_img)
 
-        loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
+            return jax.value_and_grad(loss_fn)(params)
+
+        if accum == 1:
+            loss, grads = loss_and_grad(g_state.params, hr_u8)
+        else:
+            grads, loss = _accum_grads(
+                loss_and_grad, g_state.params, _microbatches(hr_u8)
+            )
         return g_state.apply_gradients(grads=grads), loss
 
     def _gan(
@@ -175,44 +213,80 @@ def build_bundle(
         hr_u8: jnp.ndarray,
         rng: jax.Array,
     ):
-        lr_img, hr_img = prepare_batch(hr_u8, lr_size)
-        k_real, k_fake, k_adv = jax.random.split(rng, 3)
+        def d_loss_and_grad(d_params, xs):
+            """(d_loss, aux), grads for ONE micro-batch (reference
+            trainer.py:171-181)."""
+            hr_i, key = xs
+            lr_img, hr_img = prepare_batch(hr_i, lr_size)
+            k_real, k_fake = jax.random.split(key, 2)
+            sr_detached = jax.lax.stop_gradient(
+                generator.apply(g_state.params, lr_img)
+            )
 
-        # --- discriminator update (reference trainer.py:171-181) ---
-        sr_detached = jax.lax.stop_gradient(generator.apply(g_state.params, lr_img))
-
-        def d_loss_fn(d_params):
-            y_real = discriminator.apply(d_params, hr_img)
-            y_fake = discriminator.apply(d_params, sr_detached)
-            real_labels = 0.3 * jax.random.uniform(k_real, y_real.shape) + 0.8
-            fake_labels = 0.3 * jax.random.uniform(k_fake, y_fake.shape)
-            loss_real = bce_with_logits_loss(y_real, real_labels)
-            loss_fake = bce_with_logits_loss(y_fake, fake_labels)
-            return 0.5 * loss_real + 0.5 * loss_fake, (loss_real, loss_fake)
-
-        (d_loss, (loss_real, loss_fake)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(d_state.params)
-        d_state = d_state.apply_gradients(grads=d_grads)
-
-        # --- generator update vs the updated D (reference :184-196) ---
-        def g_loss_fn(g_params):
-            sr = generator.apply(g_params, lr_img)
-            y_fake = discriminator.apply(d_state.params, sr)
-            labels = 0.3 * jax.random.uniform(k_adv, y_fake.shape) + 0.7
-            adv = 0.1 * bce_with_logits_loss(y_fake, labels)
-            if has_vgg:
-                content = smooth_l1_loss(
-                    vgg.apply(vgg_params, sr), vgg.apply(vgg_params, hr_img)
+            def d_loss_fn(p):
+                y_real = discriminator.apply(p, hr_img)
+                y_fake = discriminator.apply(p, sr_detached)
+                real_labels = (
+                    0.3 * jax.random.uniform(k_real, y_real.shape) + 0.8
                 )
-            else:  # pixel-space anchor (see build_bundle docstring note)
-                content = smooth_l1_loss(sr, hr_img)
-            return 0.5 * adv + 0.5 * content, (adv, content)
+                fake_labels = 0.3 * jax.random.uniform(k_fake, y_fake.shape)
+                loss_real = bce_with_logits_loss(y_real, real_labels)
+                loss_fake = bce_with_logits_loss(y_fake, fake_labels)
+                return 0.5 * loss_real + 0.5 * loss_fake, (
+                    loss_real, loss_fake
+                )
 
-        (g_loss, (adv_loss, content_loss)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(g_state.params)
-        g_state = g_state.apply_gradients(grads=g_grads)
+            return jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+
+        def make_g_loss_and_grad(d_params):
+            # closes over the UPDATED d_params (reference :184-196: the G
+            # step runs against the already-stepped discriminator)
+            def g_loss_and_grad(g_params, xs):
+                hr_i, key = xs
+                lr_img, hr_img = prepare_batch(hr_i, lr_size)
+
+                def g_loss_fn(p):
+                    sr = generator.apply(p, lr_img)
+                    y_fake = discriminator.apply(d_params, sr)
+                    labels = 0.3 * jax.random.uniform(key, y_fake.shape) + 0.7
+                    adv = 0.1 * bce_with_logits_loss(y_fake, labels)
+                    if has_vgg:
+                        content = smooth_l1_loss(
+                            vgg.apply(vgg_params, sr),
+                            vgg.apply(vgg_params, hr_img),
+                        )
+                    else:  # pixel-space anchor (see build_bundle note)
+                        content = smooth_l1_loss(sr, hr_img)
+                    return 0.5 * adv + 0.5 * content, (adv, content)
+
+                return jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
+
+            return g_loss_and_grad
+
+        k_d, k_g = jax.random.split(rng, 2)
+        if accum == 1:
+            (d_loss, (loss_real, loss_fake)), d_grads = d_loss_and_grad(
+                d_state.params, (hr_u8, k_d)
+            )
+            d_state = d_state.apply_gradients(grads=d_grads)
+            (g_loss, (adv_loss, content_loss)), g_grads = (
+                make_g_loss_and_grad(d_state.params)(
+                    g_state.params, (hr_u8, k_g)
+                )
+            )
+            g_state = g_state.apply_gradients(grads=g_grads)
+        else:
+            hrs = _microbatches(hr_u8)
+            d_grads, (d_loss, (loss_real, loss_fake)) = _accum_grads(
+                d_loss_and_grad, d_state.params,
+                (hrs, jax.random.split(k_d, accum)),
+            )
+            d_state = d_state.apply_gradients(grads=d_grads)
+            g_grads, (g_loss, (adv_loss, content_loss)) = _accum_grads(
+                make_g_loss_and_grad(d_state.params), g_state.params,
+                (hrs, jax.random.split(k_g, accum)),
+            )
+            g_state = g_state.apply_gradients(grads=g_grads)
 
         metrics = {
             "d_loss": d_loss,

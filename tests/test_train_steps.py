@@ -157,3 +157,48 @@ class TestDataParallel:
         batch = shard_batch(synthetic_batch(rng, batch=8), mesh)
         g_state, loss = bundle.pretrain_step(g_state, batch)
         assert np.isfinite(float(loss))
+
+
+class TestGradAccum:
+    """training.grad_accum=k: scan over k micro-batches, one update."""
+
+    def test_pretrain_accum_matches_single_batch(self, rng):
+        # No RNG in the pretrain loss -> the accumulated gradient must
+        # equal the one-big-batch gradient exactly (fp32 reduction order).
+        batch = jnp.asarray(synthetic_batch(rng, batch=8))
+
+        bundle1, g1, _, _ = build_bundle(tiny_config())
+        g1, loss1 = bundle1.pretrain_step(g1, batch)
+
+        bundle4, g4, _, _ = build_bundle(tiny_config(grad_accum=4))
+        g4, loss4 = bundle4.pretrain_step(g4, batch)
+
+        assert float(loss4) == pytest.approx(float(loss1), rel=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(g1.params), jax.tree.leaves(g4.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
+    def test_gan_accum_updates_and_is_deterministic(self, rng):
+        config = tiny_config(grad_accum=2)
+        bundle, g_state, d_state, vgg_params = build_bundle(config)
+        batch = jnp.asarray(synthetic_batch(rng, batch=4))
+        key = jax.random.key(5)
+        g1, d1, m1 = bundle.gan_step(g_state, d_state, vgg_params, batch, key)
+        for v in m1.values():
+            assert np.isfinite(float(v))
+
+        bundle2, g_state2, d_state2, vgg_params2 = build_bundle(config)
+        g2, d2, m2 = bundle2.gan_step(
+            g_state2, d_state2, vgg_params2, batch, key
+        )
+        assert float(m1["g_loss"]) == pytest.approx(float(m2["g_loss"]))
+        for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_indivisible_batch_rejected(self, rng):
+        bundle, g_state, _, _ = build_bundle(tiny_config(grad_accum=3))
+        with pytest.raises(ValueError, match="not divisible"):
+            bundle.pretrain_step(g_state, jnp.asarray(synthetic_batch(rng, batch=4)))
