@@ -35,9 +35,13 @@ def main() -> None:
     steps = int(os.environ.get("STEPS", "50"))
     batch = int(os.environ.get("BATCH", "24"))
     vgg = os.environ.get("VGG", "")  # path, or "init" for fixed-seed VGG
+    accum = int(os.environ.get("ACCUM", "1"))
 
     config = default_config(
-        training={"bf16": True, "batch_size": batch, "vgg_weights": vgg}
+        training={
+            "bf16": True, "batch_size": batch, "vgg_weights": vgg,
+            "grad_accum": accum,
+        }
     )
     bundle, g_state, d_state, vgg_params = build_bundle(config)
     hr = config.data.lr_image_size * config.data.scale_factor

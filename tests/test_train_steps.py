@@ -163,8 +163,9 @@ class TestGradAccum:
     """training.grad_accum=k: scan over k micro-batches, one update."""
 
     def test_pretrain_accum_matches_single_batch(self, rng):
-        # No RNG in the pretrain loss -> the accumulated gradient must
-        # equal the one-big-batch gradient exactly (fp32 reduction order).
+        # No RNG in the pretrain loss -> the accumulated gradient equals
+        # the one-big-batch gradient up to fp32 reassociation (mean of
+        # per-micro means vs one global mean).
         batch = jnp.asarray(synthetic_batch(rng, batch=8))
 
         bundle1, g1, _, _ = build_bundle(tiny_config())
@@ -173,12 +174,12 @@ class TestGradAccum:
         bundle4, g4, _, _ = build_bundle(tiny_config(grad_accum=4))
         g4, loss4 = bundle4.pretrain_step(g4, batch)
 
-        assert float(loss4) == pytest.approx(float(loss1), rel=1e-6)
+        assert float(loss4) == pytest.approx(float(loss1), rel=1e-5)
         for a, b in zip(
             jax.tree.leaves(g1.params), jax.tree.leaves(g4.params)
         ):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-6
+                np.asarray(a), np.asarray(b), atol=1e-5
             )
 
     def test_gan_accum_updates_and_is_deterministic(self, rng):
