@@ -43,6 +43,15 @@ class CheckpointIO:
     # -- save ---------------------------------------------------------------
 
     def save(self, step: int, tree: Dict[str, Any]) -> None:
+        """Save `tree` at `step`; an existing step is replaced.
+
+        Latest-state-wins: re-running a phase with ``training.resume=false``
+        in an existing run dir legitimately re-saves steps a previous run
+        wrote (orbax raises StepAlreadyExistsError otherwise, which would
+        discard the whole re-done phase at its final save)."""
+        if self.has_step(step):
+            self.wait()  # don't delete a step that is still flushing
+            self.manager.delete(step)
         self.manager.save(step, args=ocp.args.StandardSave(tree))
 
     def wait(self) -> None:

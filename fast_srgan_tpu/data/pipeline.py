@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from collections import OrderedDict
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -58,7 +59,12 @@ class CropSampler:
         self.paths: List[str] = list(paths)
         self.hr_size = lr_image_size * scale_factor
         self.rng = np.random.default_rng(seed)
-        self._arrays: List[Optional[np.ndarray]] = [None] * len(self.paths)
+        # Bounded LRU of open mmaps: each live numpy mmap holds a file
+        # descriptor, so an unbounded per-file cache exhausts ulimit -n on
+        # datasets past ~1000 files (DIV2K's 800 hid this). 512 keeps the
+        # hot set resident while staying under default fd limits.
+        self._arrays: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._max_open = 512
         self._shapes: List[Optional[Tuple[int, int]]] = [None] * len(self.paths)
         self._native = None
         if backend in ("auto", "native"):
@@ -76,7 +82,7 @@ class CropSampler:
         return len(self.paths)
 
     def _get(self, idx: int) -> np.ndarray:
-        arr = self._arrays[idx]
+        arr = self._arrays.get(idx)
         if arr is None:
             # Copy-on-write mmap: random crops without reading the full image.
             arr = np.load(self.paths[idx], mmap_mode="c")
@@ -85,6 +91,10 @@ class CropSampler:
                     f"{self.paths[idx]}: expected HWC uint8 RGB, got {arr.shape}"
                 )
             self._arrays[idx] = arr
+            if len(self._arrays) > self._max_open:
+                self._arrays.popitem(last=False)  # evict LRU: frees its fd
+        else:
+            self._arrays.move_to_end(idx)
         return arr
 
     def _shape(self, idx: int) -> Tuple[int, int]:
@@ -292,7 +302,9 @@ def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
         shard=shard,
     )
     batch = config.training.batch_size
-    workers = max(1, min(8, config.training.num_workers))
+    # Honor the configured count (the reference default is 16 threads,
+    # train.py:84 there); floor at 1, cap at 64 as a footgun guard only.
+    workers = max(1, min(64, config.training.num_workers))
     pretrain_loader = PrefetchLoader(
         sampler, batch, config.training.pretrain_iterations, workers=workers
     )

@@ -72,17 +72,22 @@ class MicroBatcher:
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
         self._stop = threading.Event()
+        # serializes enqueue vs. shutdown: without it a submit() that
+        # passed the _stop check could enqueue AFTER close() drained the
+        # queue, leaving its handler blocked for the full request timeout
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def submit(
         self, image: np.ndarray, timeout: Optional[float] = None
     ) -> np.ndarray:
-        if self._stop.is_set():
-            raise RuntimeError("server is shutting down")
         timeout = self.request_timeout if timeout is None else timeout
         item = _Pending(image)
-        self.queue.put(item)
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server is shutting down")
+            self.queue.put(item)  # unbounded queue: never blocks in-lock
         if not item.done.wait(timeout):
             raise TimeoutError("upscale timed out")
         if item.error is not None:
@@ -90,12 +95,13 @@ class MicroBatcher:
         return item.result  # type: ignore[return-value]
 
     def close(self) -> None:
-        self._stop.set()
-        self.queue.put(None)  # type: ignore[arg-type]
+        with self._submit_lock:
+            self._stop.set()
+            self.queue.put(None)  # type: ignore[arg-type]
         self._thread.join(timeout=30)
-        # Fail any requests still queued behind the sentinel (or submitted
-        # in the shutdown race) instead of leaving their handler threads
-        # blocked until the request timeout.
+        # Fail any requests still queued behind the sentinel instead of
+        # leaving their handler threads blocked until the request timeout
+        # (no new items can appear after the locked _stop above).
         while True:
             try:
                 item = self.queue.get_nowait()

@@ -142,7 +142,10 @@ def build_bundle(
             "training.vgg_weights not set: GAN content loss uses pixel-space "
             "SmoothL1 (perceptual VGG features require ImageNet weights)"
         )
-        vgg_params = vgg.init(k_v, jnp.zeros((1, hr_size, hr_size, 3)))
+        # The content loss never touches VGG in this mode — don't build or
+        # replicate the ~80 MB fp32 tree; the jitted step drops the unused
+        # (empty) argument.
+        vgg_params = {}
 
     g_lr = config.training.generator_lr
     d_lr = config.training.discriminator_lr
@@ -311,18 +314,24 @@ def build_bundle(
         }
         return g_state, d_state, metrics
 
-    def _eval(g_params, hr_u8: jnp.ndarray):
-        """Per-image [0,1]-mapped SSE + SSIM (reference trainer.py:64-66).
-        Per-image vectors let the host mask out padding rows in partial
-        validation batches (batches are padded to a fixed size so one eval
-        program serves the whole pass)."""
+    def _eval(g_params, hr_u8: jnp.ndarray, valid: jnp.ndarray):
+        """Masked [0,1]-mapped SSE/SSIM sums (reference trainer.py:64-66).
+
+        ``valid`` is a float [B] mask (0 for the rows a partial tail batch
+        was padded with — batches are padded to one fixed size so a single
+        eval program serves the whole pass). Masking and reduction happen
+        ON DEVICE and the outputs are replicated scalars, so the same
+        program is correct on one chip, a local mesh, and multi-host
+        meshes (per-image vectors would be batch-sharded across hosts —
+        not addressable from any single process)."""
         lr_img, hr_img = prepare_batch(hr_u8, lr_size)
         sr01 = (generator.apply(g_params, lr_img) + 1.0) / 2.0
         hr01 = (hr_img + 1.0) / 2.0
         diff = sr01 - hr01
         sse = jnp.sum(diff * diff, axis=(1, 2, 3))
         ssim = ssim_per_image(sr01, hr01)
-        return sse, ssim
+        v = valid.astype(jnp.float32)
+        return jnp.sum(sse * v), jnp.sum(ssim * v), jnp.sum(v)
 
     def _render(g_params, lr01: jnp.ndarray):
         """Fixed-image panel render: [0,1] LR -> [0,1] SR (trainer.py:122)."""
@@ -348,7 +357,9 @@ def build_bundle(
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
-        eval_step = jax.jit(_eval, in_shardings=(repl, batch_s))
+        eval_step = jax.jit(
+            _eval, in_shardings=(repl, batch_s, batch_s), out_shardings=repl
+        )
         render_step = jax.jit(_render, in_shardings=(repl, repl))
     else:
         pretrain_step = jax.jit(_pretrain, donate_argnums=(0,))

@@ -61,6 +61,12 @@ class Trainer:
         # the end-of-pretrain snapshot, so it lives in its own directory.
         self.ckpt = CheckpointIO(ckpt_dir)
         self.pretrain_ckpt = CheckpointIO(ckpt_dir + "_pretrain", max_to_keep=1)
+        # Mid-pretrain periodic snapshots (crash/interrupt recovery for
+        # phase 1, mirroring the GAN phase's); separate from pretrain_ckpt,
+        # whose single reserved key marks phase COMPLETION.
+        self.pretrain_progress = CheckpointIO(
+            ckpt_dir + "_pretrain_steps", max_to_keep=2
+        )
         init_pt = config.training.get("init_generator_pt")
         if init_pt:
             # Warm-start from a reference-format generator checkpoint
@@ -142,21 +148,27 @@ class Trainer:
         # (train.py:85), which silently yields *zero* batches when the
         # dataset is smaller than one batch. The tail batch is padded up to
         # batch_size (single compiled shape, mesh-shardable) and the padding
-        # rows are masked out of the statistics.
+        # rows are masked out of the statistics ON DEVICE (the mask rides
+        # with the batch), so the replicated scalar outputs are correct on
+        # any mesh, including multi-host where per-image vectors would not
+        # be addressable from one process.
         for batch in val_sampler.sequential_batches(
             batch_size, seed=self.config.experiment.seed, drop_last=False
         ):
             valid = batch.shape[0]
+            mask = np.ones(batch_size, np.float32)
             if valid < batch_size:
                 pad = batch_size - valid
                 batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
-            b_sse, b_ssim = self.bundle.eval_step(
-                self.g_state.params, self._put(batch)
+                mask[valid:] = 0.0
+            b_sse, b_ssim, b_count = self.bundle.eval_step(
+                self.g_state.params, self._put(batch), self._put(mask)
             )
-            sse += float(np.asarray(b_sse)[:valid].sum())
-            n += per_image_n * valid
-            ssim_sum += float(np.asarray(b_ssim)[:valid].sum())
-            images += valid
+            sse += float(b_sse)
+            ssim_sum += float(b_ssim)
+            count = float(b_count)
+            n += per_image_n * count
+            images += count
         psnr = psnr_from_accumulator(sse, n)
         ssim = ssim_sum / max(images, 1)
         self.writer.scalar(f"{phase}/PSNR", psnr, step)
@@ -209,22 +221,52 @@ class Trainer:
             tree = self.pretrain_ckpt.restore(PRETRAIN_STEP, like=self._state_tree())
             self._load_state_tree(tree, step=0)
             return
-        self.validate(val_sampler, "Pretrain", step=0)
+        start_step = 0
+        latest = self.pretrain_progress.latest_step()
+        if self.config.training.resume and latest is not None:
+            print(f"Resuming pretrain from step {latest}")
+            tree = self.pretrain_progress.restore(latest, like=self._state_tree())
+            self._load_state_tree(tree, step=latest)
+            start_step = latest
+        self._pretrain_step = start_step
+        remaining = len(loader) - start_step
+        self.validate(val_sampler, "Pretrain", step=start_step)
         self._setup_fixed_images(val_sampler, "Pretrain")
         log_iter = self.config.training.log_iter
         ckpt_iter = self.config.training.checkpoint_iter
-        step = 0
-        for step, batch in enumerate(
-            tqdm(loader, desc="Pretraining Generator", total=len(loader)), start=1
-        ):
-            self.g_state, loss = self.bundle.pretrain_step(
-                self.g_state, self._put(batch)
-            )
-            if step % log_iter == 0:
-                self.writer.scalar("Pretrain/Generator/Loss", float(loss), step)
-            if step % ckpt_iter == 0:
-                self._log_generated("Pretrain/Generated", step)
-                self.validate(val_sampler, "Pretrain", step)
+        try:
+            for step, batch in enumerate(
+                tqdm(
+                    loader.iter_from(start_step),
+                    desc="Pretraining Generator",
+                    total=remaining,
+                ),
+                start=start_step + 1,
+            ):
+                self.g_state, loss = self.bundle.pretrain_step(
+                    self.g_state, self._put(batch)
+                )
+                self._pretrain_step = step
+                if step % log_iter == 0:
+                    self.writer.scalar(
+                        "Pretrain/Generator/Loss", float(loss), step
+                    )
+                if step % ckpt_iter == 0:
+                    self._log_generated("Pretrain/Generated", step)
+                    self.validate(val_sampler, "Pretrain", step)
+                    self.pretrain_progress.save(step, self._state_tree())
+        except KeyboardInterrupt:
+            step = self._pretrain_step
+            try:
+                print(f"\nInterrupted at pretrain step {step}; checkpointing")
+                self.pretrain_progress.save(step, self._state_tree())
+                self.pretrain_progress.wait()
+            except (RuntimeError, ValueError) as e:
+                print(
+                    f"Could not snapshot pretrain step {step} ({e}); latest "
+                    f"saved step is {self.pretrain_progress.latest_step()}"
+                )
+            raise
         self.pretrain_ckpt.save(PRETRAIN_STEP, self._state_tree())
         self.pretrain_ckpt.wait()
 
@@ -375,10 +417,19 @@ class Trainer:
                 ),
                 f"discriminator_epoch_{step}.pt",
             )
+            # Export the lr the optimizers ACTUALLY ran with: scale_lr
+            # multiplies the config lr by the mesh size (steps.py), and a
+            # torch resume at the raw config lr would silently change
+            # training dynamics.
+            lr_scale = (
+                self.mesh.size
+                if self.mesh is not None and self.config.parallel.scale_lr
+                else 1
+            )
             dump(
                 generator_optimizer_to_torch_state_dict(
                     jax.device_get(self.g_state.opt_state), n_layers=n_layers,
-                    lr=self.config.training.generator_lr,
+                    lr=self.config.training.generator_lr * lr_scale,
                     n_up=self._n_up(),
                 ),
                 f"generator_optim_epoch_{step}.pt",
@@ -386,7 +437,7 @@ class Trainer:
             dump(
                 discriminator_optimizer_to_torch_state_dict(
                     jax.device_get(self.d_state.opt_state),
-                    lr=self.config.training.discriminator_lr,
+                    lr=self.config.training.discriminator_lr * lr_scale,
                 ),
                 f"discriminator_optim_epoch_{step}.pt",
             )
@@ -394,4 +445,5 @@ class Trainer:
     def close(self) -> None:
         self.ckpt.close()
         self.pretrain_ckpt.close()
+        self.pretrain_progress.close()
         self.writer.close()

@@ -54,9 +54,9 @@ def main() -> None:
     parser.add_argument(
         "--warm", default=None,
         help="comma-separated HxW LR shapes to precompile before accepting "
-        "traffic, e.g. 90x160,180x320 (each compiles at max_batch and at "
-        "the trailing-singleton batch; shapes round up to the bucket "
-        "grid). Default: one bucket-sized probe.",
+        "traffic, e.g. 90x160,180x320 (one program per bucket shape, at "
+        "the engine's effective batch — exactly what serving traffic "
+        "hits). Default: one bucket-sized probe.",
     )
     args = parser.parse_args()
 

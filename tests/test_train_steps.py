@@ -113,10 +113,31 @@ class TestEvalStep:
         config = tiny_config()
         bundle, g_state, _, _ = build_bundle(config)
         batch = jnp.asarray(synthetic_batch(rng))
-        sse, ssim = bundle.eval_step(g_state.params, batch)
-        assert sse.shape == (4,) and ssim.shape == (4,)
-        assert float(sse.min()) > 0.0
-        assert -1.0 <= float(ssim.min()) and float(ssim.max()) <= 1.0
+        ones = jnp.ones(4, jnp.float32)
+        sse, ssim, count = bundle.eval_step(g_state.params, batch, ones)
+        assert sse.shape == () and ssim.shape == ()
+        assert float(sse) > 0.0
+        assert float(count) == 4.0
+        assert -4.0 <= float(ssim) <= 4.0
+
+    def test_padding_mask_excludes_rows(self, rng):
+        # masked-out rows must not contribute: stats over [b, pad] with
+        # mask [1, 0] == stats over [b] alone
+        config = tiny_config()
+        bundle, g_state, _, _ = build_bundle(config)
+        real = synthetic_batch(rng, batch=1)
+        padded = np.concatenate([real, synthetic_batch(rng, batch=1)])
+        s1, ss1, c1 = bundle.eval_step(
+            g_state.params, jnp.asarray(padded),
+            jnp.asarray([1.0, 0.0], jnp.float32),
+        )
+        s2, ss2, c2 = bundle.eval_step(
+            g_state.params, jnp.asarray(real.repeat(2, 0)),
+            jnp.asarray([1.0, 0.0], jnp.float32),
+        )
+        assert float(c1) == float(c2) == 1.0
+        np.testing.assert_allclose(float(s1), float(s2), rtol=1e-6)
+        np.testing.assert_allclose(float(ss1), float(ss2), rtol=1e-6)
 
 
 class TestDataParallel:
