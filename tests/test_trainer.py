@@ -188,3 +188,48 @@ class TestWarmStart:
             np.asarray(got), want["params"]["neck_conv"]["kernel"]
         )
         trainer.close()
+
+
+class TestPretrainInterruptResume:
+    def test_interrupt_snapshots_and_resumes_mid_phase(
+        self, npy_dir, tmp_path, monkeypatch
+    ):
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="pi")
+        config.training.pretrain_iterations = 4
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+
+        class InterruptingLoader(PrefetchLoader):
+            """Raises KeyboardInterrupt after yielding `stop_after` batches
+            (simulates Ctrl-C mid-phase)."""
+
+            stop_after = 3
+
+            def iter_from(self, start):
+                it = super().iter_from(start)
+                for i, batch in enumerate(it, start=start + 1):
+                    yield batch
+                    if i >= self.stop_after:
+                        raise KeyboardInterrupt
+
+        loader = InterruptingLoader(sampler, 2, 4, workers=1)
+        trainer = Trainer(config)
+        with pytest.raises(KeyboardInterrupt):
+            trainer.pretrain(loader, sampler)
+        # interrupt snapshot landed at the last completed step
+        assert trainer.pretrain_progress.latest_step() == 3
+        # completion marker must NOT exist: the phase is unfinished
+        from fast_srgan_tpu.checkpoints.orbax_io import PRETRAIN_STEP
+
+        assert not trainer.pretrain_ckpt.has_step(PRETRAIN_STEP)
+        trainer.close()
+
+        # fresh process: resumes at step 3 and runs only the remainder
+        trainer2 = Trainer(config)
+        loader2 = PrefetchLoader(sampler, 2, 4, workers=1)
+        trainer2.pretrain(loader2, sampler)
+        assert int(trainer2.g_state.step) == 4
+        assert trainer2.pretrain_ckpt.has_step(PRETRAIN_STEP)
+        trainer2.close()
