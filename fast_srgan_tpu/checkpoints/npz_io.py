@@ -37,7 +37,11 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 def save_npz_params(path: str, params: Dict[str, Any]) -> None:
     """Write a param pytree (with or without the 'params' wrapper)."""
     tree = params if "params" in params else {"params": params}
-    np.savez(path, **flatten_tree(tree))
+    # explicit file handle: np.savez(path_str) silently APPENDS '.npz' to
+    # extensionless paths, so a save/load round-trip with the same path
+    # would read a file that was never written
+    with open(path, "wb") as f:
+        np.savez(f, **flatten_tree(tree))
 
 
 def load_npz_params(path: str) -> Dict[str, Any]:

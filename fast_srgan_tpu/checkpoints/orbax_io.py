@@ -48,11 +48,19 @@ class CheckpointIO:
         Latest-state-wins: re-running a phase with ``training.resume=false``
         in an existing run dir legitimately re-saves steps a previous run
         wrote (orbax raises StepAlreadyExistsError otherwise, which would
-        discard the whole re-done phase at its final save)."""
-        if self.has_step(step):
+        discard the whole re-done phase at its final save). The overwrite
+        path is SYNCHRONOUS (wait after save) to shrink the
+        delete-to-commit window during which a crash would lose both
+        copies — orbax offers no atomic same-step replace, so the window
+        cannot be closed entirely, but it is then bounded by one flush
+        rather than left open across async training."""
+        replacing = self.has_step(step)
+        if replacing:
             self.wait()  # don't delete a step that is still flushing
             self.manager.delete(step)
         self.manager.save(step, args=ocp.args.StandardSave(tree))
+        if replacing:
+            self.wait()
 
     def wait(self) -> None:
         self.manager.wait_until_finished()

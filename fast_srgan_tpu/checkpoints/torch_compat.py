@@ -397,6 +397,12 @@ def _optimizer_from_torch(sd, sd_to_params, order, like_opt_state):
     import jax.numpy as jnp
 
     state = sd["state"]
+    if not state:
+        raise ValueError(
+            "optimizer state_dict has no per-parameter state (torch AdamW "
+            "initializes lazily — this checkpoint was saved before any "
+            "optimizer.step()); warm-start the weights only"
+        )
     # keys may be int or str depending on serialization
     get = lambda i: state[i] if i in state else state[str(i)]
     mu_sd = {k: np.asarray(get(i)["exp_avg"], np.float32) for i, k in enumerate(order)}

@@ -41,17 +41,21 @@ def _filter2d_valid(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     n = k1d.shape[0]
     kh = k1d.reshape(n, 1, 1, 1)  # HWIO depthwise-style
     kw = k1d.reshape(1, n, 1, 1)
+    # HIGHEST: at default precision TPU fp32 convs run bf16-decomposed;
+    # the E[x^2]-E[x]^2 variance terms downstream would amplify the ~1e-3
+    # mu errors to the order of c2, breaking torchmetrics comparability.
+    hp = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kh, (1, 1, 1, c)),
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        feature_group_count=c, precision=hp,
     )
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kw, (1, 1, 1, c)),
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        feature_group_count=c, precision=hp,
     )
     return x
 
@@ -108,7 +112,11 @@ def psnr_accumulate(pred: jnp.ndarray, target: jnp.ndarray) -> Tuple[jnp.ndarray
 
 def psnr_from_accumulator(sse: float, n: float, data_range: float = 1.0) -> float:
     """Aggregate PSNR (torchmetrics dim=None semantics)."""
-    mse = sse / max(n, 1.0)
+    if n <= 0:
+        # an empty pass must not report PSNR=inf as if it were a perfect
+        # score (torchmetrics likewise errors on compute-without-update)
+        raise ValueError("empty PSNR accumulator: no pixels were measured")
+    mse = sse / n
     if mse == 0.0:
         return float("inf")
     return float(10.0 * np.log10(data_range**2 / mse))

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,14 +59,27 @@ def bicubic_resize_matrix(
     mat = np.zeros((out_size, in_size), dtype=np.float64)
     for i in range(out_size):
         center = scale * (i + 0.5)
-        xmin = max(0, int(center - support + 0.5))
-        xmax = min(in_size, int(center + support + 0.5))
-        j = np.arange(xmin, xmax, dtype=np.float64)
-        w = _cubic((j - center + 0.5) / kscale, a)
-        s = w.sum()
-        if s != 0.0:
-            w = w / s
-        mat[i, xmin:xmax] = w
+        if antialias:
+            # PIL/ATen _upsample_bicubic2d_aa: out-of-range taps are
+            # DROPPED and the remaining weights renormalized.
+            xmin = max(0, int(center - support + 0.5))
+            xmax = min(in_size, int(center + support + 0.5))
+            j = np.arange(xmin, xmax, dtype=np.float64)
+            w = _cubic((j - center + 0.5) / kscale, a)
+            s = w.sum()
+            if s != 0.0:
+                w = w / s
+            mat[i, xmin:xmax] = w
+        else:
+            # torch plain bicubic (upsample_bicubic2d): source indices are
+            # CLAMPED (border replicate), weights kept as-is — different
+            # border semantics from the AA path above.
+            lo = int(np.floor(center - support + 0.5))
+            hi = int(np.floor(center + support + 0.5))
+            j = np.arange(lo, hi, dtype=np.float64)
+            w = _cubic(j - center + 0.5, a)
+            idx = np.clip(j.astype(np.int64), 0, in_size - 1)
+            np.add.at(mat[i], idx, w)
     return mat.astype(np.float32)
 
 
@@ -76,10 +90,15 @@ def resize_bicubic_nhwc(
     _, h, w, _ = x.shape
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
+    # HIGHEST: TPU fp32 contractions are bf16-decomposed at default
+    # precision (3-pass), which would break the module's torch-parity
+    # contract for synthesized training LR; full-fp32 here costs ~nothing
+    # (the matrices are tiny) and keeps the resize bit-comparable.
+    hp = jax.lax.Precision.HIGHEST
     if h != out_h:
         mh = jnp.asarray(bicubic_resize_matrix(h, out_h, antialias))
-        x32 = jnp.einsum("oh,bhwc->bowc", mh, x32)
+        x32 = jnp.einsum("oh,bhwc->bowc", mh, x32, precision=hp)
     if w != out_w:
         mw = jnp.asarray(bicubic_resize_matrix(w, out_w, antialias))
-        x32 = jnp.einsum("ow,bhwc->bhoc", mw, x32)
+        x32 = jnp.einsum("ow,bhwc->bhoc", mw, x32, precision=hp)
     return x32.astype(dtype)

@@ -89,3 +89,24 @@ class TestBicubicResize:
         x = rng.standard_normal((1, 24, 24, 3), dtype=np.float32)
         y = np.asarray(resize_bicubic_nhwc(jnp.asarray(x), 24, 24))
         np.testing.assert_array_equal(y, x)
+
+
+class TestBicubicResizeNonAA:
+    """Plain (antialias=False) bicubic vs torch: borders use CLAMPED source
+    indices (replicate), not the AA path's drop-and-renormalize."""
+
+    @pytest.mark.parametrize("h,w,oh,ow", [(16, 20, 64, 80), (33, 17, 66, 34)])
+    def test_matches_torch_plain_bicubic(self, rng, h, w, oh, ow):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
+
+        x = rng.uniform(0, 255, (2, h, w, 3)).astype(np.float32)
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(t, size=(oh, ow), mode="bicubic", antialias=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        got = np.asarray(
+            resize_bicubic_nhwc(jnp.asarray(x), oh, ow, antialias=False)
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-3)
