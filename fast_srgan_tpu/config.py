@@ -25,7 +25,14 @@ import yaml
 # pyyaml follows YAML 1.1, where `1e-4` (no dot) resolves to a *string*;
 # OmegaConf/Hydra accept it as a float. Coerce such numeric-looking strings
 # so the reference YAML keeps its meaning.
-_NUMERIC_RE = re.compile(r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?$")
+# Only the forms YAML 1.1 mis-parses as STRINGS despite being numeric in
+# OmegaConf: scientific notation without a dot (`1e-4`) or with an
+# unsigned exponent (`1.5e4`) — PyYAML's 1.1 float resolver requires
+# both a dot and a signed exponent. Plain numbers (`2024`, `3.5`) are
+# already numeric when unquoted, so a plain numeric STRING reaching the
+# coercer must have been explicitly quoted and stays a string, matching
+# OmegaConf (e.g. experiment.name: "2024").
+_NUMERIC_RE = re.compile(r"^[-+]?(\d+\.?\d*|\.\d+)[eE][-+]?\d+$")
 
 
 class ConfigNode(dict):
@@ -113,13 +120,15 @@ DEFAULTS: dict = {
         # kernels/fused_upsample.py)
         "fused_upsample": False,
     },
+    # Defaults for infer.py's CLI flags (a flag given on the command line
+    # wins). Semantics match the flags exactly: tile = shard each frame's
+    # width across N devices (exact halo tiling); bucket = LR bucket
+    # granularity in pixels (exact masked forward; 0 = one program per
+    # distinct shape).
     "inference": {
-        "tile": 0,  # >0: spatially tile huge frames across the mesh
-        "halo": 24,  # LR-pixel halo for tiled inference (receptive field)
-        "batch_size": 1,
-        # pad to shape buckets to bound recompiles; approximate (instance
-        # norm is global over the padded frame) — keep off for exactness
-        "bucket": False,
+        "tile": 0,
+        "batch_size": 8,
+        "bucket": 0,
     },
 }
 
@@ -129,6 +138,11 @@ def _merge(base: dict, override: Mapping) -> dict:
     for k, v in override.items():
         if isinstance(v, Mapping) and isinstance(out.get(k), dict):
             out[k] = _merge(out[k], v)
+        elif v is None and isinstance(out.get(k), dict):
+            # a bare section header (`kernels:` with every key commented
+            # out) safe_loads to None; OmegaConf treats it as an empty
+            # section — keep the defaults rather than nulling the section
+            continue
         else:
             out[k] = copy.deepcopy(v)
     return out
@@ -199,11 +213,21 @@ def apply_overrides(config: ConfigNode, overrides: Iterable[str]) -> ConfigNode:
 
 
 def load_config(
-    path: str | None = None, overrides: Iterable[str] = ()
+    path: str | None = None,
+    overrides: Iterable[str] = (),
+    required: bool = False,
 ) -> ConfigNode:
-    """Load YAML config, merge over defaults, apply dotted overrides."""
+    """Load YAML config, merge over defaults, apply dotted overrides.
+
+    ``required=True`` makes a missing ``path`` an error — CLIs pass it for
+    user-supplied --config values so a typo'd path cannot silently run on
+    pure defaults; the default stays lenient for the bundled-config case.
+    """
     data: dict = {}
-    if path is not None and os.path.exists(path):
+    if path is not None and not os.path.exists(path):
+        if required:
+            raise FileNotFoundError(f"config file not found: {path!r}")
+    elif path is not None:
         with open(path) as f:
             data = _coerce_tree(yaml.safe_load(f) or {})
     config = ConfigNode(_merge(DEFAULTS, data))

@@ -149,6 +149,14 @@ def upscale_videos(
     if len(set(output_paths)) != len(output_paths):
         # two writers on one file interleave into a corrupt container
         raise ValueError(f"duplicate output paths: {sorted(output_paths)}")
+    import os
+
+    in_abs = {os.path.abspath(p) for p in input_paths}
+    clash = in_abs & {os.path.abspath(p) for p in output_paths}
+    if clash:
+        # the writer opens (and truncates) outputs BEFORE decode starts —
+        # writing onto an input would destroy it before a frame is read
+        raise ValueError(f"output would overwrite an input: {sorted(clash)}")
 
     sizes, fpses = [], []
     for p in input_paths:
@@ -193,6 +201,7 @@ def upscale_videos(
             iter_video_frames(p, limit, buffer=buf) for p in input_paths
         ]
         active = list(range(len(its)))
+        checked = [False] * len(its)
         while active:
             for i in list(active):
                 try:
@@ -200,6 +209,18 @@ def upscale_videos(
                 except StopIteration:
                     active.remove(i)
                     continue
+                if not checked[i]:
+                    # container props can lie (rotation metadata, stale
+                    # headers); a size mismatch would make the writer
+                    # silently drop every frame
+                    if frame.shape[:2] != (h, w):
+                        raise ValueError(
+                            f"{input_paths[i]}: decoded frames are "
+                            f"{frame.shape[1]}x{frame.shape[0]} but the "
+                            f"container reports {w}x{h} (rotation "
+                            "metadata?)"
+                        )
+                    checked[i] = True
                 draw_order.append(i)
                 yield frame
 

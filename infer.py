@@ -69,9 +69,11 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--checkpoint", default=None, type=str)
     parser.add_argument("--config", default="configs/config.yaml", type=str)
-    parser.add_argument("--batch_size", default=8, type=int)
+    # None defaults: resolved from the config's `inference:` section below
+    # (a flag given on the command line wins).
+    parser.add_argument("--batch_size", default=None, type=int)
     parser.add_argument(
-        "--bucket", default=0, type=int,
+        "--bucket", default=None, type=int,
         help="zero-pad LR inputs to multiples of this to bound recompiles "
         "on mixed-size directories; exact via the masked forward "
         "(0 = one compiled program per distinct shape)",
@@ -80,7 +82,7 @@ def main(argv=None) -> None:
         "--fp32", action="store_true", help="fp32 compute (default bf16)"
     )
     parser.add_argument(
-        "--tile", default=0, type=int,
+        "--tile", default=None, type=int,
         help="shard each frame's width across N devices (exact halo-exchange"
         " tiling with psum'd instance-norm statistics; width must divide N)",
     )
@@ -99,7 +101,9 @@ def main(argv=None) -> None:
                 + ", ".join(DEFAULT_CHECKPOINTS) + ")"
             )
 
-    config = load_config(args.config)
+    config = load_config(
+        args.config, required=args.config != parser.get_default("config")
+    )
     params = load_generator_params(ckpt)
     # The checkpoint determines the architecture (any n_filters/n_layers/
     # scale trains here); the config is only consulted for kernel options.
@@ -113,17 +117,34 @@ def main(argv=None) -> None:
     }
     if arch != cfg_arch:
         print(f"checkpoint architecture {arch} (overrides config {cfg_arch})")
-    engine = SRInferenceEngine(
-        params,
-        n_filters=arch["n_filters"],
-        n_layers=arch["n_layers"],
-        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-        bucket=args.bucket,
-        use_pallas=config.kernels.use_pallas,
-        scale_factor=arch["scale_factor"],
-    )
+
+    def flag(name):
+        v = getattr(args, name)
+        return config.inference[name] if v is None else v
+
+    tile, bucket, batch_size = flag("tile"), flag("bucket"), flag("batch_size")
+    if tile and bucket:
+        parser.error(
+            "--tile and --bucket are mutually exclusive: tiling runs whole "
+            "frames across devices, bucketing batches padded frames on one"
+        )
+    if args.video is not None and (tile or bucket):
+        parser.error("--video supports neither --tile nor --bucket")
+
+    def make_engine():
+        # not built on the --tile path (tiling uses the raw params)
+        return SRInferenceEngine(
+            params,
+            n_filters=arch["n_filters"],
+            n_layers=arch["n_layers"],
+            dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+            bucket=bucket,
+            use_pallas=config.kernels.use_pallas,
+            scale_factor=arch["scale_factor"],
+        )
 
     if args.video is not None:
+        engine = make_engine()
         if args.output_dir:
             os.makedirs(args.output_dir, exist_ok=True)
         if len(args.video) == 1:
@@ -133,7 +154,7 @@ def main(argv=None) -> None:
                 args.output_dir, os.path.basename(args.video[0])
             )
             stats = upscale_video(
-                engine, args.video[0], out_path, batch_size=args.batch_size
+                engine, args.video[0], out_path, batch_size=batch_size
             )
             print(
                 f"Done: {stats['frames']} frames in {stats['seconds']:.2f}s "
@@ -154,7 +175,7 @@ def main(argv=None) -> None:
             for v in args.video
         ]
         stats = upscale_videos(
-            engine, args.video, outs, batch_size=args.batch_size
+            engine, args.video, outs, batch_size=batch_size
         )
         fps = stats["frames"] / max(stats["seconds"], 1e-9)
         print(
@@ -167,7 +188,7 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     names = list_image_files(args.image_dir)
     paths = [os.path.join(args.image_dir, n) for n in names]
-    if not args.bucket and not args.tile and len(names) > 1:
+    if not bucket and not tile and len(names) > 1:
         from PIL import Image
 
         shapes = set()
@@ -184,18 +205,19 @@ def main(argv=None) -> None:
                 break
     print(f"Found {len(names)} to super resolve, starting...")
     t0 = time.perf_counter()
-    if args.tile > 0:
+    if tile > 0:
         from fast_srgan_tpu.parallel.mesh import make_mesh
         from fast_srgan_tpu.parallel.spatial import tiled_upscale_u8
 
-        mesh = make_mesh(args.tile, axis_name="sp")
+        mesh = make_mesh(tile, axis_name="sp")
         dtype = jnp.float32 if args.fp32 else jnp.bfloat16
         for name, path in zip(names, paths):
             out = tiled_upscale_u8(params, load_image_u8(path), mesh, dtype=dtype)
             save_image_u8(os.path.join(args.output_dir, name), out)
     else:
+        engine = make_engine()
         # Memory-bounded: images decoded one batch at a time, saved as done.
-        for i, out in engine.upscale_files(paths, batch_size=args.batch_size):
+        for i, out in engine.upscale_files(paths, batch_size=batch_size):
             save_image_u8(os.path.join(args.output_dir, names[i]), out)
     dt = time.perf_counter() - t0
     print(f"Done: {len(names)} images in {dt:.2f}s ({len(names) / dt:.1f} img/s)")

@@ -69,7 +69,9 @@ def main() -> None:
                 + ", ".join(DEFAULT_CHECKPOINTS) + ")"
             )
 
-    config = load_config(args.config)  # kernel options only; arch below
+    config = load_config(  # kernel options only; arch comes from the ckpt
+        args.config, required=args.config != parser.get_default("config")
+    )
     from fast_srgan_tpu.inference import arch_from_params
 
     params = load_generator_params(ckpt)

@@ -94,3 +94,23 @@ class TestActualReferenceConfig:
         assert cfg.training.generator_lr == 1e-4
         assert cfg.data.lr_image_size == 24 and cfg.data.scale_factor == 4
         assert cfg.kernels.use_pallas is False  # injected default
+
+
+class TestConfigRobustness:
+    def test_empty_yaml_section_keeps_defaults(self, tmp_path):
+        y = tmp_path / "c.yaml"
+        y.write_text("kernels:\n# all keys commented out\ngenerator:\n  n_filters: 32\n")
+        c = load_config(str(y))
+        assert c.kernels.use_pallas is False  # defaults survive, not None
+        assert c.generator.n_filters == 32
+
+    def test_required_missing_path_raises(self):
+        with pytest.raises(FileNotFoundError, match="config file not found"):
+            load_config("/nonexistent/path.yaml", required=True)
+
+    def test_quoted_numeric_strings_stay_strings(self, tmp_path):
+        y = tmp_path / "c.yaml"
+        y.write_text('experiment:\n  name: "2024"\ntraining:\n  generator_lr: 1e-4\n')
+        c = load_config(str(y))
+        assert c.experiment.name == "2024" and isinstance(c.experiment.name, str)
+        assert c.training.generator_lr == 1e-4  # YAML-1.1 sci-notation fixed

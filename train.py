@@ -32,7 +32,10 @@ from fast_srgan_tpu.parallel.mesh import make_mesh
 from fast_srgan_tpu.train.trainer import Trainer
 from fast_srgan_tpu.utils import jax_cache
 
-jax_cache.enable()
+# NOTE: jax_cache.enable() is deliberately NOT called at import time here:
+# its no-accelerator probe can initialize the JAX backend, and
+# jax.distributed.initialize() (the multihost path below) must run before
+# any backend initialization. It is enabled inside main() instead.
 
 
 def main(argv=None) -> None:
@@ -59,7 +62,10 @@ def main(argv=None) -> None:
     if config.parallel.multihost:
         # DCN bring-up: after this, jax.devices() spans all hosts and the
         # same mesh/sharding code below runs the global program (SPMD).
+        # Must precede jax_cache.enable(), whose probe can initialize the
+        # backend (jax.distributed.initialize errors after backend init).
         jax.distributed.initialize()
+    jax_cache.enable()
 
     np.random.seed(config.experiment.seed)
 
