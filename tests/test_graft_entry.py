@@ -47,3 +47,17 @@ class TestDryrunMultichip:
         out = capsys.readouterr().out
         assert "dryrun_multichip(4) dp gan_step ok" in out
         assert "dryrun_multichip(4) sp tiled forward ok" in out
+
+    @pytest.mark.slow
+    def test_self_provisions_when_devices_short(self, graft, capsys):
+        # The driver calls dryrun_multichip(8) on a 1-device axon platform;
+        # asking for more devices than this process has (16 > 8 CPU) forces
+        # the same self-provisioning subprocess path (MULTICHIP_r01 gate).
+        graft.dryrun_multichip(16)
+        out = capsys.readouterr().out
+        assert "dryrun_multichip(16) ok (virtual CPU mesh subprocess)" in out
+
+    def test_child_guard_refuses_recursion(self, graft, monkeypatch):
+        monkeypatch.setenv("_FASTSR_DRYRUN_CHILD", "1")
+        with pytest.raises(RuntimeError, match="provisioning failed"):
+            graft.dryrun_multichip(10_000)
