@@ -127,8 +127,13 @@ def main() -> None:
         try:
             fps = run(batch_size, frames)
             break
-        except Exception:  # RESOURCE_EXHAUSTED: retry smaller
-            if batch_size == candidates[-1]:
+        except Exception as e:
+            # Only retry smaller on memory exhaustion; anything else (bad
+            # checkpoint, compile error) would fail at every size too, and
+            # retrying masks the real cause behind two wasted compiles.
+            msg = str(e).lower()
+            oom = "resource_exhausted" in msg or "out of memory" in msg
+            if not oom or batch_size == candidates[-1]:
                 raise
     result = {
         "metric": "fps_180x320_to_720p_800frames",

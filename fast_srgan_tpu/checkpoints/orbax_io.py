@@ -58,7 +58,20 @@ class CheckpointIO:
         if replacing:
             self.wait()  # don't delete a step that is still flushing
             self.manager.delete(step)
-        self.manager.save(step, args=ocp.args.StandardSave(tree))
+        # force=True: CheckpointManager.save silently no-ops on any
+        # step <= latest_step (should_save gate) — exactly the rerun-over-
+        # an-existing-run-dir case this replace path exists for. Without
+        # it, delete(step)+save(step) would DELETE the old checkpoint and
+        # then write nothing.
+        saved = self.manager.save(
+            step, args=ocp.args.StandardSave(tree), force=True
+        )
+        if not saved:
+            raise RuntimeError(
+                f"orbax declined to save step {step} "
+                f"(latest={self.manager.latest_step()}); checkpoint would "
+                "be silently lost"
+            )
         if replacing:
             self.wait()
 

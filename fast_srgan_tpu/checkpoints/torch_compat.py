@@ -200,9 +200,16 @@ def generator_params_from_torch_state_dict(
         }
     # stage count from the keys: the reference ships 2 (fixed 4x,
     # model.py:97-100); 2x/8x generators trained here export 1 or 3.
-    n_up = 1 + max(
+    up_stages = [
         int(k.split(".")[1]) for k in sd if k.startswith("upsampling.")
-    )
+    ]
+    if not up_stages:
+        raise ValueError(
+            "state_dict has no 'upsampling.*' keys — not a generator "
+            "checkpoint (wrong file, or truncated); got keys like "
+            f"{sorted(sd)[:5]}"
+        )
+    n_up = 1 + max(up_stages)
     for j in range(n_up):
         p[f"upsampling_{j}"] = {
             "conv": {
@@ -314,10 +321,35 @@ def vgg19_params_from_torch_state_dict(
         else:
             torch_conv_indices.append(idx)
             idx += 2  # conv + relu
+    missing = [
+        f"features.{t_i}.{part}"
+        for t_i in torch_conv_indices
+        for part in ("weight", "bias")
+        if f"features.{t_i}.{part}" not in sd
+    ]
+    if missing:
+        raise ValueError(
+            "not a torchvision vgg19 state_dict: missing "
+            f"{len(missing)} expected keys (first: {missing[:4]}); got keys "
+            f"like {sorted(sd)[:4]}. Expected the ImageNet checkpoint "
+            "vgg19-dcbb9e9d.pth (torchvision cfg 'E' features)."
+        )
+    # Shape self-check against cfg 'E' channel widths so a vgg16/vgg19_bn/
+    # truncated file errors here, before a training run starts.
+    widths = [c for c in VGG19_FEATURES_34_PLAN if c != "M"]
+    in_ch = 3
     p: Dict[str, Any] = {}
     for our_i, t_i in enumerate(torch_conv_indices):
         w = np.asarray(sd[f"features.{t_i}.weight"], dtype=np.float32)
         b = np.asarray(sd[f"features.{t_i}.bias"], dtype=np.float32)
+        want_w = (widths[our_i], in_ch, 3, 3)
+        if w.shape != want_w or b.shape != (widths[our_i],):
+            raise ValueError(
+                f"features.{t_i}: expected conv weight {want_w} / bias "
+                f"({widths[our_i]},) for vgg19 cfg 'E', got {w.shape} / "
+                f"{b.shape} — wrong VGG variant or corrupted checkpoint"
+            )
+        in_ch = widths[our_i]
         p[f"conv_{our_i}"] = {"kernel": _oihw_to_hwio(w), "bias": b}
     return {"params": p}
 

@@ -65,6 +65,10 @@ class CropSampler:
         # hot set resident while staying under default fd limits.
         self._arrays: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self._max_open = 512
+        # PrefetchLoader workers call crop_batch concurrently; without a
+        # lock, move_to_end can race popitem's eviction and KeyError, which
+        # aborts training in exactly the >1000-file regime the LRU is for.
+        self._arrays_lock = threading.Lock()
         self._shapes: List[Optional[Tuple[int, int]]] = [None] * len(self.paths)
         self._native = None
         if backend in ("auto", "native"):
@@ -82,19 +86,26 @@ class CropSampler:
         return len(self.paths)
 
     def _get(self, idx: int) -> np.ndarray:
-        arr = self._arrays.get(idx)
-        if arr is None:
-            # Copy-on-write mmap: random crops without reading the full image.
-            arr = np.load(self.paths[idx], mmap_mode="c")
-            if arr.ndim != 3 or arr.shape[2] != 3:
-                raise ValueError(
-                    f"{self.paths[idx]}: expected HWC uint8 RGB, got {arr.shape}"
-                )
-            self._arrays[idx] = arr
+        with self._arrays_lock:
+            arr = self._arrays.get(idx)
+            if arr is not None:
+                self._arrays.move_to_end(idx)
+                return arr
+        # Load outside the lock: np.load hits the filesystem and would
+        # serialize all workers behind one cache miss.
+        arr = np.load(self.paths[idx], mmap_mode="c")
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError(
+                f"{self.paths[idx]}: expected HWC uint8 RGB, got {arr.shape}"
+            )
+        with self._arrays_lock:
+            # A concurrent loader may have inserted idx meanwhile; keep the
+            # existing entry (duplicate mmaps are harmless, fds are freed on
+            # GC) and refresh recency.
+            arr = self._arrays.setdefault(idx, arr)
+            self._arrays.move_to_end(idx)
             if len(self._arrays) > self._max_open:
                 self._arrays.popitem(last=False)  # evict LRU: frees its fd
-        else:
-            self._arrays.move_to_end(idx)
         return arr
 
     def _shape(self, idx: int) -> Tuple[int, int]:

@@ -128,8 +128,14 @@ def main(argv=None) -> None:
             "--tile and --bucket are mutually exclusive: tiling runs whole "
             "frames across devices, bucketing batches padded frames on one"
         )
-    if args.video is not None and (tile or bucket):
-        parser.error("--video supports neither --tile nor --bucket")
+    if args.video is not None:
+        # Only reject EXPLICIT flags: a config carrying inference.tile/bucket
+        # for directory runs must not break video invocations that never
+        # asked for them (video frames are one fixed shape — neither mode
+        # applies, so config-sourced values are simply ignored here).
+        if args.tile or args.bucket:
+            parser.error("--video supports neither --tile nor --bucket")
+        tile, bucket = 0, 0
 
     def make_engine():
         # not built on the --tile path (tiling uses the raw params)

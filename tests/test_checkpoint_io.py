@@ -56,6 +56,25 @@ class TestCheckpointIO:
         np.testing.assert_array_equal(np.asarray(back["w"]), np.arange(6.0).reshape(2, 3))
         io.close()
 
+    def test_replace_earlier_step_persists(self, tmp_path):
+        # Regression: orbax save() no-ops on step <= latest_step unless
+        # forced, so replacing an earlier step (resume=false rerun over an
+        # existing run dir) used to delete the old copy and write NOTHING.
+        io = CheckpointIO(str(tmp_path / "ck"), max_to_keep=5)
+        io.save(3, {"w": jnp.zeros(2)})
+        io.save(7, {"w": jnp.zeros(2)})
+        io.save(3, {"w": jnp.ones(2)})  # replace behind latest
+        io.wait()
+        assert io.has_step(3)
+        back = io.restore(3, like={"w": jnp.zeros(2)})
+        np.testing.assert_array_equal(np.asarray(back["w"]), np.ones(2))
+        # Fresh re-save of a NEW step behind the old run's latest must also
+        # persist (the rerun's first checkpoints).
+        io.save(5, {"w": jnp.full(2, 2.0)})
+        io.wait()
+        assert io.has_step(5)
+        io.close()
+
     def test_retention(self, tmp_path):
         io = CheckpointIO(str(tmp_path / "ck"), max_to_keep=2)
         tree = {"w": jnp.zeros(2)}

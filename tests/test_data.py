@@ -89,6 +89,35 @@ class TestCropSampler:
         assert set(s0.paths).isdisjoint(s1.paths)
         assert len(s0.paths) + len(s1.paths) == len(paths)
 
+    def test_mmap_lru_thread_safe_under_eviction(self, dataset):
+        # Regression: concurrent crop_batch from PrefetchLoader workers used
+        # to race the unlocked OrderedDict LRU (move_to_end after a
+        # concurrent popitem evicted the key -> KeyError aborting training).
+        # Tiny cache + many threads makes every access an eviction fight.
+        import threading
+
+        _, npy_dir = dataset
+        s = CropSampler(list_numpy_files(npy_dir), 16, 4, seed=7, backend="numpy")
+        s._max_open = 1
+        errors = []
+
+        def hammer(tid):
+            rng = np.random.default_rng(tid)
+            try:
+                for _ in range(50):
+                    idxs = rng.integers(0, len(s), size=4)
+                    out = s.crop_batch(idxs, rng)
+                    assert out.shape == (4, 64, 64, 3)
+            except Exception as e:  # pragma: no cover - failure capture
+                errors.append(e)
+
+        threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+
     def test_crop_too_large_raises(self, dataset):
         _, npy_dir = dataset
         s = CropSampler(list_numpy_files(npy_dir), 64, 4, backend="numpy")  # 256 crop
