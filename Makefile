@@ -1,14 +1,20 @@
 # Convenience targets for fast_srgan_tpu.
 
-.PHONY: native test bench smoke serve clean
+.PHONY: native test test-quick bench smoke serve clean
 
 # Build the native C++ crop-gather loader (also built lazily on first use).
 native:
 	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libfastsr_loader.so \
 	    csrc/fastsr_loader.cpp -lpthread
 
+# Full suite: the merge gate (~25 min on CPU, compile-dominated).
 test:
 	python -m pytest tests/ -x -q
+
+# Per-commit gate: skips compile-heavy tests (~80 s on CPU; see
+# tests/conftest.py SLOW_NODE_PATTERNS).
+test-quick:
+	python -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	python bench.py
@@ -22,7 +28,7 @@ smoke:
 	  generator.n_filters=16 generator.n_layers=2 discriminator.n_filters=16 \
 	  training.pretrain_iterations=4 training.iterations=4 \
 	  training.batch_size=8 training.log_iter=2 training.checkpoint_iter=2 \
-	  training.bf16=false experiment.name=smoke
+	  training.bf16=false training.vgg_weights=pixel experiment.name=smoke
 
 # Batched HTTP serving daemon (see serve.py --help).
 serve:

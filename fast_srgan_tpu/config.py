@@ -96,7 +96,10 @@ DEFAULTS: dict = {
         "bf16": True,  # bf16 compute, fp32 params/optimizer
         "remat": False,  # rematerialize stem blocks (memory for FLOPs)
         "grad_accum": 1,  # micro-batches per optimizer step (k*B effective)
-        "vgg_weights": None,  # torchvision vgg19 .pth path, or "init" (profiling)
+        # torchvision vgg19 .pth path (the reference recipe); "pixel" opts
+        # into SmoothL1 content loss; "init" runs random-VGG (profiling).
+        # null + a GAN phase fails at startup (see train/steps.py).
+        "vgg_weights": None,
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
         "export_pt": False,  # also write reference-format .pt files

@@ -121,7 +121,26 @@ def build_bundle(
     # SmoothL1 (the pretrain objective), keeping the reference's 0.5/0.5
     # loss structure anchored.
     vgg_path = config.training.vgg_weights
-    has_vgg = bool(vgg_path)
+    if not vgg_path and config.training.iterations > 0:
+        # The reference GAN phase is defined by its frozen ImageNet-VGG19
+        # perceptual loss (reference trainer.py:190-192; weights that
+        # torchvision auto-downloads at reference model.py:8). Silently
+        # training a different recipe is worse than stopping: fail up front,
+        # before hours of pretraining precede a non-reference GAN phase.
+        raise ValueError(
+            "training.iterations > 0 (GAN phase) but training.vgg_weights is "
+            "not set. The reference recipe needs ImageNet VGG19 weights: "
+            "supply torchvision's checkpoint file "
+            "(vgg19-dcbb9e9d.pth, from "
+            "https://download.pytorch.org/models/vgg19-dcbb9e9d.pth) via "
+            "training.vgg_weights=/path/to/vgg19-dcbb9e9d.pth. Explicit "
+            "opt-outs: training.vgg_weights=pixel (content loss falls back "
+            "to pixel-space SmoothL1 — trains, but is NOT the reference "
+            "recipe) or =init (fixed-seed random VGG: profiling only, "
+            "collapses fidelity). Pretrain-only runs (training.iterations=0) "
+            "need no VGG."
+        )
+    has_vgg = bool(vgg_path) and vgg_path != "pixel"
     if vgg_path == "init":
         # Sentinel: run the VGG-features content loss with the fixed-seed
         # init weights. The full reference loss *formulation* (and its
@@ -138,10 +157,12 @@ def build_bundle(
             load_torch_state_dict(vgg_path)
         )
     else:
-        print(
-            "training.vgg_weights not set: GAN content loss uses pixel-space "
-            "SmoothL1 (perceptual VGG features require ImageNet weights)"
-        )
+        if vgg_path == "pixel":
+            print(
+                "training.vgg_weights=pixel: GAN content loss is pixel-space "
+                "SmoothL1 (explicit opt-out; the reference recipe uses "
+                "ImageNet-VGG19 features)"
+            )
         # The content loss never touches VGG in this mode — don't build or
         # replicate the ~80 MB fp32 tree; the jitted step drops the unused
         # (empty) argument.

@@ -55,7 +55,7 @@ def main() -> None:
     batch = int(os.environ.get("BATCH", "24"))
     repeats = int(os.environ.get("REPEATS", "3"))
 
-    config = default_config(training={"bf16": True, "batch_size": batch})
+    config = default_config(training={"bf16": True, "batch_size": batch, "vgg_weights": "pixel"})
     bundle, g_state0, d_state0, vgg_params = build_bundle(config)
     generator, discriminator = bundle.generator, bundle.discriminator
     lr_size = config.data.lr_image_size

@@ -79,7 +79,7 @@ def main() -> None:
         config = default_config(
             training={
                 "bf16": not args.fp32,
-                **({"vgg_weights": "init"} if args.vgg else {}),
+                "vgg_weights": "init" if args.vgg else "pixel",
             },
             data={"lr_image_size": h // 4, "scale_factor": 4},
         )

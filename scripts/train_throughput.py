@@ -34,7 +34,7 @@ from fast_srgan_tpu.train.steps import build_bundle  # noqa: E402
 def main() -> None:
     steps = int(os.environ.get("STEPS", "50"))
     batch = int(os.environ.get("BATCH", "24"))
-    vgg = os.environ.get("VGG", "")  # path, or "init" for fixed-seed VGG
+    vgg = os.environ.get("VGG", "pixel")  # path, "init" (fixed-seed VGG), or "pixel"
     accum = int(os.environ.get("ACCUM", "1"))
 
     config = default_config(

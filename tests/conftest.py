@@ -29,6 +29,49 @@ if jax.config.jax_platforms != "cpu":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Two-tier suite: `pytest -m "not slow"` is the <3-minute per-commit gate;
+# the full suite (~25 min on CPU, compile-dominated) remains the merge gate.
+# Centralized here (rather than scattered decorators) and keyed on measured
+# durations (pytest --durations): every entry below costs >8s on CPU, almost
+# entirely XLA compilation of multi-device or full-size programs.
+# ---------------------------------------------------------------------------
+
+SLOW_NODE_PATTERNS = (
+    # whole modules: every test compiles multi-device/full-model programs
+    "test_inference_engine.py",
+    "test_spatial.py",
+    "test_masked.py",
+    "test_trainer.py",
+    "test_scaled_configs.py",
+    "test_serving.py",
+    "test_video.py",
+    "test_discriminator_parity.py",
+    "test_lr_tail.py",
+    # specific compile-heavy classes/tests in otherwise-quick modules
+    "test_graft_entry.py::TestEntry",
+    "test_graft_entry.py::TestDryrunMultichip::test_eight",
+    "test_graft_entry.py::TestDryrunMultichip::test_four",
+    "test_graft_entry.py::TestDryrunMultichip::test_self_provisions",
+    "test_train_steps.py::TestGanStep",
+    "test_train_steps.py::TestDataParallel",
+    "test_train_steps.py::TestGradAccum",
+    "test_scale_factors.py::TestScaleFactors::test_2x_train_step",
+    "test_vgg_parity.py::TestVGGParity::test_gan_step_uses_vgg_weights_file",
+    "test_models.py::TestDiscriminator::test_param_count_golden",
+    "test_torch_compat.py::TestNumericalParity",
+    "test_kernels.py",
+    "test_fused_upsample.py",
+    "test_fused_upsample_v2.py",
+    "test_pixel_shuffle_kernel.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in SLOW_NODE_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -43,7 +43,7 @@ class TestScaleFactors:
             data={"lr_image_size": 12, "scale_factor": 2},
             generator={"n_filters": 8, "n_layers": 1},
             discriminator={"n_filters": 8},
-            training={"bf16": False},
+            training={"bf16": False, "vgg_weights": "pixel"},
         )
         bundle, g_state, d_state, vgg_params = build_bundle(config)
         batch = jnp.asarray(rng.integers(0, 256, (2, 24, 24, 3), dtype=np.uint8))

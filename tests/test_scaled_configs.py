@@ -40,7 +40,7 @@ class TestScaledGenerator:
             data={"lr_image_size": 8, "scale_factor": 4},
             generator={"n_filters": 12, "n_layers": 3},
             discriminator={"n_filters": 8},
-            training={"bf16": False, "remat": True},
+            training={"bf16": False, "vgg_weights": "pixel", "remat": True},
         )
         bundle, g_state, d_state, vgg_params = build_bundle(config)
         batch = jnp.asarray(

@@ -81,6 +81,11 @@ class TestConversion:
         for k in reference_sd:
             np.testing.assert_array_equal(back[k], reference_sd[k])
 
+    def test_truncated_state_dict_descriptive_error(self, reference_sd):
+        sd = {k: v for k, v in reference_sd.items() if not k.startswith("upsampling.")}
+        with pytest.raises(ValueError, match="upsampling"):
+            generator_params_from_torch_state_dict(sd)
+
     def test_param_tree_loads_into_model(self, reference_sd):
         params = generator_params_from_torch_state_dict(reference_sd)
         model = Generator(n_filters=64, n_layers=8)

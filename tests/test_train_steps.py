@@ -15,7 +15,7 @@ def tiny_config(**training):
         data={"lr_image_size": 8, "scale_factor": 4},
         generator={"n_filters": 8, "n_layers": 2},
         discriminator={"n_filters": 8},
-        training={"bf16": False, **training},
+        training={"bf16": False, "vgg_weights": "pixel", **training},
     )
 
 

@@ -31,6 +31,7 @@ def make_config(tmp_path, npy_dir, name="t"):
         discriminator={"n_filters": 8},
         training={
             "bf16": False,
+            "vgg_weights": "pixel",
             "pretrain_iterations": 2,
             "iterations": 2,
             "batch_size": 2,

@@ -86,6 +86,34 @@ class TestVGGParity:
         assert ours.shape == want.shape == (1, 2, 2, 512)
         np.testing.assert_allclose(np.asarray(ours), want, atol=2e-4)
 
+    def test_converter_rejects_wrong_variant(self):
+        # A vgg16-shaped (or truncated) state_dict must error at conversion,
+        # not train silently with wrong features.
+        sd = synthetic_torch_vgg_sd()
+        truncated = {k: v for k, v in sd.items() if not k.startswith("features.28")}
+        with pytest.raises(ValueError, match="missing"):
+            vgg19_params_from_torch_state_dict(truncated)
+        wrong = dict(sd)
+        wrong["features.2.weight"] = sd["features.2.weight"][:32]  # half width
+        with pytest.raises(ValueError, match="cfg 'E'"):
+            vgg19_params_from_torch_state_dict(wrong)
+
+    def test_gan_phase_without_vgg_weights_fails_loudly(self):
+        from fast_srgan_tpu.config import default_config
+        from fast_srgan_tpu.train.steps import build_bundle
+
+        config = default_config(
+            data={"lr_image_size": 8},
+            generator={"n_filters": 8, "n_layers": 1},
+            discriminator={"n_filters": 8},
+            training={"bf16": False},
+        )
+        with pytest.raises(ValueError, match="vgg19-dcbb9e9d.pth"):
+            build_bundle(config)
+        # pretrain-only runs need no VGG
+        config.training.iterations = 0
+        build_bundle(config)
+
     def test_gan_step_uses_vgg_weights_file(self, tmp_path, rng):
         # training.vgg_weights end to end: a .pth file changes the content
         # loss away from the pixel-space fallback and the step stays finite.
@@ -100,7 +128,7 @@ class TestVGGParity:
             data={"lr_image_size": 8},
             generator={"n_filters": 8, "n_layers": 1},
             discriminator={"n_filters": 8},
-            training={"batch_size": 2, "bf16": False},
+            training={"batch_size": 2, "bf16": False, "vgg_weights": "pixel"},
         )
         cfg_vgg = default_config(**{
             **kw, "training": dict(kw["training"], vgg_weights=str(path)),
