@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Two-process `jax.distributed` smoke test on localhost CPU.
+
+The reference is strictly single-device (SURVEY.md §2.7); multi-host data
+parallelism is a first-class capability of this rebuild, and this script is
+the proof that the multi-process code paths actually execute — not just the
+single-process mesh tests:
+
+  * `jax.distributed.initialize` bring-up: 2 processes, coordinator on
+    127.0.0.1, each contributing one CPU device to a global 2-device mesh.
+  * `shard_batch`'s `process_count > 1` branch
+    (fast_srgan_tpu/parallel/mesh.py): each process passes its LOCAL batch
+    slice and the global array is assembled with
+    `jax.make_array_from_process_local_data`.
+  * Per-host file sharding (`CropSampler(shard=(index, count))`,
+    fast_srgan_tpu/data/pipeline.py): disjoint path subsets whose union is
+    the full file list.
+  * Real sharded train steps: 1 pretrain + 3 full GAN steps (fp32,
+    pixel-anchor content loss) through the same jitted programs train.py
+    uses, run in SPMD lockstep across both processes.
+
+Loss equality: a third, single-process run consumes the identical global
+batch on a 1-device mesh; per-step losses must match the 2-process run to
+fp32 reduction tolerance. This validates that the multi-host program is the
+*same math*, merely sharded.
+
+Usage:  python scripts/multihost_smoke.py          # parent/orchestrator
+Exit 0 and a final "MULTIHOST SMOKE OK" line on success.
+
+(Workers pin the platform to CPU via jax.config.update after import — this
+environment's sitecustomize pre-imports JAX with JAX_PLATFORMS=axon, and
+`jax.distributed.initialize` must run before any backend touch, which a
+clean child process guarantees.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_FILES = 8
+GLOBAL_BATCH = 4
+LR_SIZE = 8
+SCALE = 4
+HR_SIZE = LR_SIZE * SCALE
+STEPS = 3
+SEED = 0
+
+
+def _global_batch() -> np.ndarray:
+    """The deterministic global uint8 HR crop batch every run consumes."""
+    rng = np.random.default_rng(SEED)
+    return rng.integers(
+        0, 256, size=(GLOBAL_BATCH, HR_SIZE, HR_SIZE, 3), dtype=np.uint8
+    )
+
+
+def _run_steps(mesh, local_batch: np.ndarray) -> dict:
+    """1 pretrain + STEPS gan steps; returns {step: {metric: float}}."""
+    import jax
+
+    from fast_srgan_tpu.config import default_config
+    from fast_srgan_tpu.parallel.mesh import shard_batch
+    from fast_srgan_tpu.train.steps import build_bundle
+
+    config = default_config(
+        data={"lr_image_size": LR_SIZE, "scale_factor": SCALE},
+        generator={"n_filters": 8, "n_layers": 2},
+        discriminator={"n_filters": 8},
+        training={"bf16": False, "vgg_weights": "pixel"},
+        parallel={"scale_lr": False},
+    )
+    bundle, g_state, d_state, vgg_params = build_bundle(config, mesh=mesh)
+
+    sharded = shard_batch(local_batch, mesh)
+    out = {}
+    g_state, loss = bundle.pretrain_step(g_state, sharded)
+    out["pretrain"] = {"loss": float(loss)}
+    key = jax.random.key(7)
+    for step in range(STEPS):
+        g_state, d_state, metrics = bundle.gan_step(
+            g_state, d_state, vgg_params, sharded, jax.random.fold_in(key, step)
+        )
+        out[f"gan{step}"] = {k: float(v) for k, v in metrics.items()}
+    return out
+
+
+def worker(args) -> None:
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{args.port}",
+        num_processes=args.nprocs,
+        process_id=args.worker,
+    )
+    assert jax.process_count() == args.nprocs, jax.process_count()
+
+    from fast_srgan_tpu.data.pipeline import CropSampler
+    from fast_srgan_tpu.parallel.mesh import make_mesh
+
+    # --- per-host file sharding ---
+    paths = sorted(
+        os.path.join(args.data, f) for f in os.listdir(args.data)
+        if f.endswith(".npy")
+    )
+    sampler = CropSampler(
+        paths, LR_SIZE, SCALE, seed=SEED,
+        shard=(jax.process_index(), jax.process_count()),
+    )
+
+    # --- sharded train steps on the global 2-device mesh ---
+    mesh = make_mesh()  # all (2) global devices
+    local = GLOBAL_BATCH // args.nprocs
+    lo = jax.process_index() * local
+    local_batch = _global_batch()[lo:lo + local]
+    losses = _run_steps(mesh, local_batch)
+
+    print("WORKER_JSON " + json.dumps({
+        "proc": jax.process_index(),
+        "process_count": jax.process_count(),
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+        "shard_paths": [os.path.basename(p) for p in sampler.paths],
+        "losses": losses,
+    }))
+
+
+def single(args) -> None:
+    """Single-process reference run over the identical global batch."""
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from fast_srgan_tpu.parallel.mesh import make_mesh
+
+    losses = _run_steps(make_mesh(1), _global_batch())
+    print("SINGLE_JSON " + json.dumps({"losses": losses}))
+
+
+def parent() -> None:
+    with tempfile.TemporaryDirectory(prefix="fastsr_mh_") as data_dir:
+        rng = np.random.default_rng(1)
+        for i in range(N_FILES):
+            np.save(
+                os.path.join(data_dir, f"img_{i:02d}.npy"),
+                rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
+            )
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+
+        def spawn(extra):
+            return subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)] + extra,
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+
+        workers = [
+            spawn([
+                "--worker", str(i), "--nprocs", "2",
+                "--port", str(port), "--data", data_dir,
+            ])
+            for i in range(2)
+        ]
+        single_proc = spawn(["--single"])
+
+        outs, rcs = [], []
+        for p in workers + [single_proc]:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            rcs.append(p.returncode)
+        for i, (out, rc) in enumerate(zip(outs, rcs)):
+            if rc != 0:
+                sys.stderr.write(f"--- child {i} rc={rc} ---\n{out}\n")
+        if any(rcs):
+            raise SystemExit("child process failed")
+
+    reports = []
+    for out in outs[:2]:
+        line = [l for l in out.splitlines() if l.startswith("WORKER_JSON ")]
+        assert len(line) == 1, out
+        reports.append(json.loads(line[0][len("WORKER_JSON "):]))
+    single_line = [
+        l for l in outs[2].splitlines() if l.startswith("SINGLE_JSON ")
+    ]
+    ref = json.loads(single_line[0][len("SINGLE_JSON "):])["losses"]
+
+    reports.sort(key=lambda r: r["proc"])
+    # 2 processes, each 1 local device, 2 global
+    for r in reports:
+        assert r["process_count"] == 2, r
+        assert r["global_devices"] == 2, r
+        assert r["local_devices"] == 1, r
+    # disjoint file shards covering all files
+    shard0, shard1 = (set(r["shard_paths"]) for r in reports)
+    assert shard0.isdisjoint(shard1), (shard0, shard1)
+    assert len(shard0 | shard1) == N_FILES, (shard0, shard1)
+    # both processes computed identical (replicated) losses
+    assert reports[0]["losses"] == reports[1]["losses"], reports
+    # ... equal to the single-process run over the same global batch
+    worst = 0.0
+    for step, metrics in ref.items():
+        for k, v in metrics.items():
+            got = reports[0]["losses"][step][k]
+            err = abs(got - v) / max(abs(v), 1e-8)
+            worst = max(worst, err)
+            assert err < 1e-4, (step, k, got, v)
+
+    print(f"2-process run: losses over {1 + STEPS} steps match single-process "
+          f"(worst rel err {worst:.2e})")
+    print("shards:", sorted(shard0), "|", sorted(shard1))
+    print("MULTIHOST SMOKE OK")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--single", action="store_true")
+    args = ap.parse_args()
+    if args.single:
+        single(args)
+    elif args.worker is not None:
+        worker(args)
+    else:
+        parent()
+
+
+if __name__ == "__main__":
+    main()

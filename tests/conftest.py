@@ -61,6 +61,7 @@ SLOW_NODE_PATTERNS = (
     "test_models.py::TestDiscriminator::test_param_count_golden",
     "test_torch_compat.py::TestNumericalParity",
     "test_kernels.py",
+    "test_multihost.py",
     "test_fused_upsample.py",
     "test_fused_upsample_v2.py",
     "test_pixel_shuffle_kernel.py",
