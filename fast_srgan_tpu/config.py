@@ -100,6 +100,12 @@ DEFAULTS: dict = {
         # into SmoothL1 content loss; "init" runs random-VGG (profiling).
         # null + a GAN phase fails at startup (see train/steps.py).
         "vgg_weights": None,
+        # single generator forward per GAN step (jax.vjp reuse; exact —
+        # see train/steps.py). false restores the reference's recompute
+        # form; recompute is always used when grad_accum > 1.
+        "gan_shared_forward": True,
+        # rematerialize VGG activations in the GAN step backward
+        "remat_vgg": False,
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
         "export_pt": False,  # also write reference-format .pt files

@@ -243,7 +243,91 @@ def build_bundle(
             )
         return g_state.apply_gradients(grads=grads), loss
 
-    def _gan(
+    # Shared-forward GAN step (default): the reference evaluates the
+    # generator twice per iteration — once detached for the D update, once
+    # fresh for the G update (reference trainer.py:174,185) — because its
+    # two optimizer steps are separate autograd graphs. Inside ONE jitted
+    # program both uses see the SAME parameters (G updates only at the end),
+    # so a single forward suffices: take `(sr, g_vjp) = jax.vjp(G)`, feed
+    # `stop_gradient(sr)` to the D update, then pull the G-loss cotangent
+    # back through `g_vjp`. Chain rule makes this *mathematically identical*
+    # to the recompute form (asserted in tests/test_train_steps.py); it
+    # removes one full generator forward (~0.3 TFLOP @ batch 96) from the
+    # step. `training.gan_shared_forward=false` restores the recompute form
+    # (it is also used automatically when grad_accum > 1, where holding
+    # every micro-batch's vjp residuals would defeat the memory knob).
+    shared_fwd = (
+        bool(config.training.get("gan_shared_forward", True)) and accum == 1
+    )
+    # training.remat_vgg: wrap the frozen VGG feature extractor in
+    # jax.checkpoint so its conv activations are recomputed during the
+    # backward pass instead of living in HBM between forward and backward.
+    remat_vgg = bool(config.training.get("remat_vgg", False))
+
+    def content_term(vgg_params, sr, hr_img):
+        """0.5-weighted content loss term (reference trainer.py:190-192)."""
+        if has_vgg:
+            vapply = jax.checkpoint(vgg.apply) if remat_vgg else vgg.apply
+            return smooth_l1_loss(
+                vapply(vgg_params, sr), vapply(vgg_params, hr_img)
+            )
+        return smooth_l1_loss(sr, hr_img)  # pixel anchor (build_bundle note)
+
+    def _gan_shared(
+        g_state: TrainState,
+        d_state: TrainState,
+        vgg_params,
+        hr_u8: jnp.ndarray,
+        rng: jax.Array,
+    ):
+        lr_img, hr_img = prepare_batch(hr_u8, lr_size)
+        k_d, k_g = jax.random.split(rng, 2)
+        k_real, k_fake = jax.random.split(k_d, 2)
+
+        sr, g_vjp = jax.vjp(
+            lambda p: generator.apply(p, lr_img), g_state.params
+        )
+        sr_detached = jax.lax.stop_gradient(sr)
+
+        def d_loss_fn(p):
+            y_real = discriminator.apply(p, hr_img)
+            y_fake = discriminator.apply(p, sr_detached)
+            real_labels = 0.3 * jax.random.uniform(k_real, y_real.shape) + 0.8
+            fake_labels = 0.3 * jax.random.uniform(k_fake, y_fake.shape)
+            loss_real = bce_with_logits_loss(y_real, real_labels)
+            loss_fake = bce_with_logits_loss(y_fake, fake_labels)
+            return 0.5 * loss_real + 0.5 * loss_fake, (loss_real, loss_fake)
+
+        (d_loss, (loss_real, loss_fake)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params)
+        d_state = d_state.apply_gradients(grads=d_grads)
+
+        def g_loss_from_sr(sr_):
+            # against the UPDATED d_state (reference :184-196)
+            y_fake = discriminator.apply(d_state.params, sr_)
+            labels = 0.3 * jax.random.uniform(k_g, y_fake.shape) + 0.7
+            adv = 0.1 * bce_with_logits_loss(y_fake, labels)
+            content = content_term(vgg_params, sr_, hr_img)
+            return 0.5 * adv + 0.5 * content, (adv, content)
+
+        (g_loss, (adv_loss, content_loss)), d_sr = jax.value_and_grad(
+            g_loss_from_sr, has_aux=True
+        )(sr)
+        (g_grads,) = g_vjp(d_sr)
+        g_state = g_state.apply_gradients(grads=g_grads)
+
+        metrics = {
+            "d_loss": d_loss,
+            "loss_real": loss_real,
+            "loss_fake": loss_fake,
+            "g_loss": g_loss,
+            "adv_loss": adv_loss,
+            "content_loss": content_loss,
+        }
+        return g_state, d_state, metrics
+
+    def _gan_recompute(
         g_state: TrainState,
         d_state: TrainState,
         vgg_params,
@@ -287,13 +371,7 @@ def build_bundle(
                     y_fake = discriminator.apply(d_params, sr)
                     labels = 0.3 * jax.random.uniform(key, y_fake.shape) + 0.7
                     adv = 0.1 * bce_with_logits_loss(y_fake, labels)
-                    if has_vgg:
-                        content = smooth_l1_loss(
-                            vgg.apply(vgg_params, sr),
-                            vgg.apply(vgg_params, hr_img),
-                        )
-                    else:  # pixel-space anchor (see build_bundle note)
-                        content = smooth_l1_loss(sr, hr_img)
+                    content = content_term(vgg_params, sr, hr_img)
                     return 0.5 * adv + 0.5 * content, (adv, content)
 
                 return jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
@@ -334,6 +412,8 @@ def build_bundle(
             "content_loss": content_loss,
         }
         return g_state, d_state, metrics
+
+    _gan = _gan_shared if shared_fwd else _gan_recompute
 
     def _eval(g_params, hr_u8: jnp.ndarray, valid: jnp.ndarray):
         """Masked [0,1]-mapped SSE/SSIM sums (reference trainer.py:64-66).

@@ -36,11 +36,14 @@ def main() -> None:
     batch = int(os.environ.get("BATCH", "24"))
     vgg = os.environ.get("VGG", "pixel")  # path, "init" (fixed-seed VGG), or "pixel"
     accum = int(os.environ.get("ACCUM", "1"))
+    shared = os.environ.get("SHARED", "1") != "0"  # gan_shared_forward
+    remat_vgg = os.environ.get("REMAT_VGG", "0") == "1"
 
     config = default_config(
         training={
             "bf16": True, "batch_size": batch, "vgg_weights": vgg,
-            "grad_accum": accum,
+            "grad_accum": accum, "gan_shared_forward": shared,
+            "remat_vgg": remat_vgg,
         }
     )
     bundle, g_state, d_state, vgg_params = build_bundle(config)

@@ -95,6 +95,67 @@ class TestGanStep:
             float(m_pix["content_loss"])
         )
 
+    @pytest.mark.parametrize("vgg_mode", ["pixel", "init"])
+    def test_shared_forward_matches_recompute(self, rng, vgg_mode):
+        # The default shared-forward GAN step (one G forward, jax.vjp
+        # pullback) must be mathematically identical to the reference's
+        # recompute form: same losses AND same updated parameters.
+        batch = jnp.asarray(synthetic_batch(rng))
+        key = jax.random.key(11)
+        results = []
+        for shared in (True, False):
+            config = tiny_config(
+                vgg_weights=vgg_mode, gan_shared_forward=shared
+            )
+            bundle, g_state, d_state, vgg_params = build_bundle(config)
+            g_state, d_state, metrics = bundle.gan_step(
+                g_state, d_state, vgg_params, batch, key
+            )
+            results.append((g_state, d_state, metrics))
+        (g_a, d_a, m_a), (g_b, d_b, m_b) = results
+        for k in m_a:
+            assert float(m_a[k]) == pytest.approx(
+                float(m_b[k]), rel=1e-5, abs=1e-7
+            ), k
+        for name, (ta, tb) in {
+            "g_params": (g_a.params, g_b.params),
+            "d_params": (d_a.params, d_b.params),
+        }.items():
+            err = max(
+                jax.tree.leaves(
+                    jax.tree.map(
+                        lambda a, b: float(jnp.abs(a - b).max()), ta, tb
+                    )
+                )
+            )
+            assert err < 1e-5, (name, err)
+
+    def test_remat_vgg_matches(self, rng):
+        # training.remat_vgg changes only the backward's memory/recompute
+        # schedule, never the math.
+        batch = jnp.asarray(synthetic_batch(rng))
+        key = jax.random.key(13)
+        outs = []
+        for remat in (False, True):
+            config = tiny_config(vgg_weights="init", remat_vgg=remat)
+            bundle, g_state, d_state, vgg_params = build_bundle(config)
+            g_state, _, metrics = bundle.gan_step(
+                g_state, d_state, vgg_params, batch, key
+            )
+            outs.append((g_state.params, metrics))
+        err = max(
+            jax.tree.leaves(
+                jax.tree.map(
+                    lambda a, b: float(jnp.abs(a - b).max()),
+                    outs[0][0], outs[1][0],
+                )
+            )
+        )
+        assert err < 1e-6, err
+        assert float(outs[0][1]["g_loss"]) == pytest.approx(
+            float(outs[1][1]["g_loss"]), rel=1e-6
+        )
+
     def test_deterministic_given_key(self, rng):
         config = tiny_config()
         batch = jnp.asarray(synthetic_batch(rng))
