@@ -41,7 +41,8 @@ from __graft_entry__ import entry  # noqa: E402
 from fast_srgan_tpu.models import Generator  # noqa: E402
 from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail  # noqa: E402
 
-H, W = 540, 960
+H = int(os.environ.get("BENCH_H", "540"))  # override for functional smokes
+W = int(os.environ.get("BENCH_W", "960"))
 
 
 def main() -> None:
@@ -50,12 +51,13 @@ def main() -> None:
     params = jax.device_put(params)
     model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
 
-    @jax.jit
-    def forward(params, x_u8):
+    def forward_body(params, x_u8):
         x = x_u8.astype(jnp.float32) / 127.5 - 1.0
         sr = generator_apply_lr_tail(model, params, x)
         out = jnp.clip((sr + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return out, jnp.sum(out.astype(jnp.int32))
+
+    forward = jax.jit(forward_body)
 
     rng = np.random.default_rng(0)
 
@@ -76,6 +78,68 @@ def main() -> None:
     print(
         f"single-frame latency (batch 1, incl. host RTT): "
         f"{lat * 1e3:.1f} ms median = {1 / lat:.1f} fps"
+    )
+
+    # --- true device latency: in-jit dependent chain (batch 1) ---
+    # The strict number above includes this dev environment's ~25-30 ms
+    # per-dispatch tunnel RTT (see docs/DESIGN.md "Benchmarking through the
+    # development tunnel") — a co-located host does not pay it. The honest
+    # device-only single-frame latency is measured the only way sub-dispatch
+    # times can be through the tunnel: CHAIN_K sequential batch-1 forwards
+    # inside ONE program, each depending on the previous output's checksum
+    # (so XLA can neither overlap nor CSE them), statically unrolled (a
+    # lax.fori_loop would degrade conv layouts — the measured 33x hazard).
+    CHAIN_K = 8
+
+    @jax.jit
+    def chained(params, x_u8):
+        total = jnp.int32(0)
+        for _ in range(CHAIN_K):
+            out, ck = forward_body(params, x_u8)
+            total = total + ck
+            # data dependency: next input perturbed by this checksum's parity
+            x_u8 = x_u8 ^ (ck % 2).astype(jnp.uint8)
+        return total
+
+    x1 = jax.device_put(
+        rng.integers(0, 256, size=(1, H, W, 3), dtype=np.uint8)
+    )
+    int(chained(params, x1))  # compile + completion
+    chain_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(chained(params, x1))
+        chain_times.append(time.perf_counter() - t0)
+    dev_lat = min(chain_times) / CHAIN_K
+    print(
+        f"single-frame device latency (batch 1, {CHAIN_K}-chain in-jit): "
+        f"{dev_lat * 1e3:.1f} ms = {1 / dev_lat:.1f} fps"
+    )
+
+    # --- batch-1 pipelined cadence (window of 3 in flight) ---
+    # What a continuous one-stream pipeline sees per frame: dispatch RTT is
+    # hidden by keeping a small window in flight; per-frame completion
+    # cadence approaches the device latency.
+    staged1 = [
+        jax.device_put(rng.integers(0, 256, size=(1, H, W, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    _, ck = forward(params, staged1[0])
+    int(ck)
+    n1 = min(48, max(frames, 16))
+    t0 = time.perf_counter()
+    cks = []
+    for i in range(n1):
+        _, ck = forward(params, staged1[i % 3])
+        cks.append(ck)
+        if len(cks) > 3:
+            int(cks.pop(0))
+    for ck in cks:
+        int(ck)
+    cadence = (time.perf_counter() - t0) / n1
+    print(
+        f"batch-1 pipelined cadence (window 3): "
+        f"{cadence * 1e3:.1f} ms/frame = {1 / cadence:.1f} fps"
     )
 
     # --- streaming throughput (batch 8, bounded in-flight window) ---
