@@ -68,6 +68,11 @@ def main() -> None:
     ap.add_argument("--n-images", type=int, default=96)
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-launch wall clock limit, seconds")
+    ap.add_argument("--log-iter", type=int, default=25)
+    ap.add_argument("--ckpt-iter", type=int, default=250)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--min-gain", type=float, default=3.0,
+                    help="required PSNR improvement (dB) start->final")
     args = ap.parse_args()
 
     # --- 1. procedural dataset ---
@@ -94,8 +99,9 @@ def main() -> None:
         f"training.pretrain_iterations={args.pretrain}",
         f"training.iterations={args.gan}",
         "training.vgg_weights=pixel",
-        "training.log_iter=25",
-        "training.checkpoint_iter=250",
+        f"training.log_iter={args.log_iter}",
+        f"training.checkpoint_iter={args.ckpt_iter}",
+        f"training.batch_size={args.batch}",
     ]
     kill_after_step = max(1, int(args.gan * args.kill_frac))
 
@@ -190,14 +196,14 @@ def main() -> None:
     gap = min(
         (s for s in all_adv_steps if s > snap_step), default=10**9
     ) - snap_step
-    if gap > 25:  # log_iter
+    if gap > args.log_iter:
         problems.append(f"resume gap after snapshot: {gap} steps unlogged")
 
     psnr = sorted(by_tag.get("GAN/PSNR", []))
     pre_psnr = sorted(by_tag.get("Pretrain/PSNR", []))
     start_db = pre_psnr[0][1] if pre_psnr else float("nan")
     final_db = psnr[-1][1] if psnr else float("nan")
-    if not (final_db > start_db + 3.0):
+    if not (final_db > start_db + args.min_gain):
         problems.append(
             f"no fidelity improvement: start {start_db:.2f} dB -> "
             f"final {final_db:.2f} dB"
