@@ -1,6 +1,7 @@
 # Convenience targets for fast_srgan_tpu.
 
-.PHONY: native test test-quick bench smoke serve clean
+.PHONY: native test test-quick bench smoke serve clean \
+        multihost soak bench-4k train-ab
 
 # Build the native C++ crop-gather loader (also built lazily on first use).
 native:
@@ -29,6 +30,26 @@ smoke:
 	  training.pretrain_iterations=4 training.iterations=4 \
 	  training.batch_size=8 training.log_iter=2 training.checkpoint_iter=2 \
 	  training.bf16=false training.vgg_weights=pixel experiment.name=smoke
+
+# Two real jax.distributed processes on localhost CPU: global batch
+# assembly, per-host file sharding, loss equality vs single-process.
+multihost:
+	python scripts/multihost_smoke.py
+
+# Reliability drill on the attached device: thousands of steps, SIGINT
+# mid-GAN, resume, curve-continuity verdict (runs/<name>/SOAK_REPORT.json).
+soak:
+	python scripts/soak.py
+
+bench-4k:
+	python scripts/bench_4k.py
+
+# A/B the GAN step formulations at the reference's full-loss operating
+# point (batch 96 + VGG): shared-forward (default) vs recompute.
+train-ab:
+	for s in 1 0; do for i in 1 2 3; do \
+	  STEPS=150 BATCH=96 VGG=init SHARED=$$s \
+	  python scripts/train_throughput.py; done; done
 
 # Batched HTTP serving daemon (see serve.py --help).
 serve:
