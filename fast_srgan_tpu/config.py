@@ -108,6 +108,7 @@ DEFAULTS: dict = {
         "remat_vgg": False,
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
+        "keep_checkpoints": 5,  # GAN-phase Orbax retention (max_to_keep)
         "export_pt": False,  # also write reference-format .pt files
         # Warm-start from reference-format checkpoints (migration path):
         "init_generator_pt": None,

@@ -59,7 +59,10 @@ class Trainer:
         )
         # Separate managers: GAN-phase retention must never garbage-collect
         # the end-of-pretrain snapshot, so it lives in its own directory.
-        self.ckpt = CheckpointIO(ckpt_dir)
+        self.ckpt = CheckpointIO(
+            ckpt_dir,
+            max_to_keep=config.training.get("keep_checkpoints", 5) or 5,
+        )
         self.pretrain_ckpt = CheckpointIO(ckpt_dir + "_pretrain", max_to_keep=1)
         # Mid-pretrain periodic snapshots (crash/interrupt recovery for
         # phase 1, mirroring the GAN phase's); separate from pretrain_ckpt,
