@@ -13,6 +13,10 @@ Each reference hot loop becomes exactly one compiled XLA program:
                 adv = 0.1 * BCE(D(G(lr)), labels ~ U[0.7,1.0])
                 content = SmoothL1(VGG(sr), VGG(hr))
                 g_loss = 0.5*adv + 0.5*content   (no pixel loss in GAN phase)
+    By default the generator runs ONCE per iteration — (sr, vjp) =
+    jax.vjp(G) serves both the D update (stop_gradient) and the G update
+    (cotangent pullback); chain-rule-identical to the reference's two
+    forwards (see the decision comment at _gan_shared below).
   * ``eval_step`` — per-batch PSNR/SSIM statistics on [0,1]-mapped images
     (reference trainer.py:53-69 protocol).
 
