@@ -113,7 +113,42 @@ def run(batch_size: int, frames: int) -> float:
     return (n_batches * batch_size) / elapsed
 
 
+def _require_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (not hang) when the accelerator backend cannot initialize.
+
+    Backend init through this environment's TPU tunnel can block
+    indefinitely during infrastructure outages (observed: `jax.devices()`
+    hanging >10 min with 'TPU backend setup/compile error (Unavailable)').
+    Normal init takes seconds — compile time is NOT part of this probe —
+    so a generous bound converts an infinite hang into a clear error."""
+    import threading
+
+    done = threading.Event()
+    info: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            info["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # surfaced below
+            info["error"] = repr(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        raise SystemExit(
+            f"accelerator backend failed to initialize within {timeout_s:.0f}s "
+            "(tunnel outage?); aborting the benchmark instead of hanging"
+        )
+    if "error" in info:
+        raise SystemExit(f"accelerator backend init failed: {info['error']}")
+
+
 def main() -> None:
+    _require_backend()
     frames = int(os.environ.get("BENCH_FRAMES", "800"))
     # Batch 96 is the measured optimum on v5e (sweep in docs/DESIGN.md:
     # 315 fps @16, 352 @64, 431 @96; 112 exhausts HBM). The fallback chain
