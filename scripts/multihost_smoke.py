@@ -7,7 +7,9 @@ the proof that the multi-process code paths actually execute — not just the
 single-process mesh tests:
 
   * `jax.distributed.initialize` bring-up: 2 processes, coordinator on
-    127.0.0.1, each contributing one CPU device to a global 2-device mesh.
+    127.0.0.1, each contributing `--devices-per-host` CPU devices (default
+    1; pass 4 for the realistic pod shape — a 2x4 = 8-device global mesh
+    where each host addresses only its local slice).
   * `shard_batch`'s `process_count > 1` branch
     (fast_srgan_tpu/parallel/mesh.py): each process passes its LOCAL batch
     slice and the global array is assembled with
@@ -49,7 +51,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_FILES = 8
-GLOBAL_BATCH = 4
 LR_SIZE = 8
 SCALE = 4
 HR_SIZE = LR_SIZE * SCALE
@@ -57,11 +58,11 @@ STEPS = 3
 SEED = 0
 
 
-def _global_batch() -> np.ndarray:
+def _global_batch(n: int) -> np.ndarray:
     """The deterministic global uint8 HR crop batch every run consumes."""
     rng = np.random.default_rng(SEED)
     return rng.integers(
-        0, 256, size=(GLOBAL_BATCH, HR_SIZE, HR_SIZE, 3), dtype=np.uint8
+        0, 256, size=(n, HR_SIZE, HR_SIZE, 3), dtype=np.uint8
     )
 
 
@@ -120,11 +121,11 @@ def worker(args) -> None:
         shard=(jax.process_index(), jax.process_count()),
     )
 
-    # --- sharded train steps on the global 2-device mesh ---
-    mesh = make_mesh()  # all (2) global devices
-    local = GLOBAL_BATCH // args.nprocs
+    # --- sharded train steps on the global mesh (all devices, all hosts) ---
+    mesh = make_mesh()
+    local = args.global_batch // args.nprocs
     lo = jax.process_index() * local
-    local_batch = _global_batch()[lo:lo + local]
+    local_batch = _global_batch(args.global_batch)[lo:lo + local]
     losses = _run_steps(mesh, local_batch)
 
     print("WORKER_JSON " + json.dumps({
@@ -146,11 +147,13 @@ def single(args) -> None:
 
     from fast_srgan_tpu.parallel.mesh import make_mesh
 
-    losses = _run_steps(make_mesh(1), _global_batch())
+    losses = _run_steps(make_mesh(1), _global_batch(args.global_batch))
     print("SINGLE_JSON " + json.dumps({"losses": losses}))
 
 
-def parent() -> None:
+def parent(args) -> None:
+    dph = args.devices_per_host
+    global_batch = 2 * 2 * dph  # 2 rows per device, 2 hosts
     with tempfile.TemporaryDirectory(prefix="fastsr_mh_") as data_dir:
         rng = np.random.default_rng(1)
         for i in range(N_FILES):
@@ -164,7 +167,9 @@ def parent() -> None:
             port = s.getsockname()[1]
 
         env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+        env.pop("XLA_FLAGS", None)
+        if dph > 1:
+            env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dph}"
 
         def spawn(extra):
             return subprocess.Popen(
@@ -177,10 +182,18 @@ def parent() -> None:
             spawn([
                 "--worker", str(i), "--nprocs", "2",
                 "--port", str(port), "--data", data_dir,
+                "--global-batch", str(global_batch),
             ])
             for i in range(2)
         ]
-        single_proc = spawn(["--single"])
+        single_env = dict(env)
+        single_env.pop("XLA_FLAGS", None)  # reference run: one device
+        single_proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--single", "--global-batch", str(global_batch)],
+            env=single_env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
 
         outs, rcs = [], []
         for p in workers + [single_proc]:
@@ -204,11 +217,11 @@ def parent() -> None:
     ref = json.loads(single_line[0][len("SINGLE_JSON "):])["losses"]
 
     reports.sort(key=lambda r: r["proc"])
-    # 2 processes, each 1 local device, 2 global
+    # 2 processes, dph local devices each
     for r in reports:
         assert r["process_count"] == 2, r
-        assert r["global_devices"] == 2, r
-        assert r["local_devices"] == 1, r
+        assert r["global_devices"] == 2 * dph, r
+        assert r["local_devices"] == dph, r
     # disjoint file shards covering all files
     shard0, shard1 = (set(r["shard_paths"]) for r in reports)
     assert shard0.isdisjoint(shard1), (shard0, shard1)
@@ -224,7 +237,8 @@ def parent() -> None:
             worst = max(worst, err)
             assert err < 1e-4, (step, k, got, v)
 
-    print(f"2-process run: losses over {1 + STEPS} steps match single-process "
+    print(f"2-process x {dph}-device run (global batch {global_batch}): "
+          f"losses over {1 + STEPS} steps match single-process "
           f"(worst rel err {worst:.2e})")
     print("shards:", sorted(shard0), "|", sorted(shard1))
     print("MULTIHOST SMOKE OK")
@@ -237,13 +251,15 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--data", default=None)
     ap.add_argument("--single", action="store_true")
+    ap.add_argument("--global-batch", type=int, default=4)
+    ap.add_argument("--devices-per-host", type=int, default=1)
     args = ap.parse_args()
     if args.single:
         single(args)
     elif args.worker is not None:
         worker(args)
     else:
-        parent()
+        parent(args)
 
 
 if __name__ == "__main__":

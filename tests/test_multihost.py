@@ -18,14 +18,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_smoke():
+import pytest
+
+
+@pytest.mark.parametrize("devices_per_host", [1, 4])
+def test_two_process_smoke(devices_per_host):
+    # devices_per_host=1: minimal bring-up; =4: the realistic pod shape —
+    # a 2x4=8-device global mesh where each process addresses only its
+    # local 4-device slice.
     env = dict(os.environ)
     # The parent orchestrator spawns its own clean children; drop the test
-    # harness's virtual-device flag so each child contributes exactly one
-    # CPU device (the script relies on that to form the 2-device mesh).
+    # harness's virtual-device flag so the script controls each child's
+    # device count itself.
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py")],
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py"),
+         "--devices-per-host", str(devices_per_host)],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
