@@ -121,30 +121,16 @@ def _require_backend(timeout_s: float = 300.0) -> None:
     hanging >10 min with 'TPU backend setup/compile error (Unavailable)').
     Normal init takes seconds — compile time is NOT part of this probe —
     so a generous bound converts an infinite hang into a clear error."""
-    import threading
+    from fast_srgan_tpu.utils.backend_probe import probe_device_count
 
-    done = threading.Event()
-    info: dict = {}
-
-    def probe():
-        try:
-            import jax
-
-            info["devices"] = [str(d) for d in jax.devices()]
-        except Exception as e:  # surfaced below
-            info["error"] = repr(e)
-        finally:
-            done.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
+    n, err = probe_device_count(timeout_s)
+    if err is not None:
+        raise SystemExit(f"accelerator backend init failed: {err}")
+    if n is None:
         raise SystemExit(
             f"accelerator backend failed to initialize within {timeout_s:.0f}s "
             "(tunnel outage?); aborting the benchmark instead of hanging"
         )
-    if "error" in info:
-        raise SystemExit(f"accelerator backend init failed: {info['error']}")
 
 
 def main() -> None:

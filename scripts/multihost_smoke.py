@@ -162,10 +162,6 @@ def parent(args) -> None:
                 rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
             )
 
-        with socket.socket() as s:
-            s.bind(("127.0.0.1", 0))
-            port = s.getsockname()[1]
-
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
         if dph > 1:
@@ -178,33 +174,53 @@ def parent(args) -> None:
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
 
-        workers = [
-            spawn([
-                "--worker", str(i), "--nprocs", "2",
-                "--port", str(port), "--data", data_dir,
-                "--global-batch", str(global_batch),
-            ])
-            for i in range(2)
-        ]
-        single_env = dict(env)
-        single_env.pop("XLA_FLAGS", None)  # reference run: one device
-        single_proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--single", "--global-batch", str(global_batch)],
-            env=single_env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
+        def attempt(port):
+            workers = [
+                spawn([
+                    "--worker", str(i), "--nprocs", "2",
+                    "--port", str(port), "--data", data_dir,
+                    "--global-batch", str(global_batch),
+                ])
+                for i in range(2)
+            ]
+            single_env = dict(env)
+            single_env.pop("XLA_FLAGS", None)  # reference run: one device
+            single_proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", "--global-batch", str(global_batch)],
+                env=single_env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            outs, rcs = [], []
+            for p in workers + [single_proc]:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+                rcs.append(p.returncode)
+            return outs, rcs
 
-        outs, rcs = [], []
-        for p in workers + [single_proc]:
-            out, _ = p.communicate(timeout=600)
-            outs.append(out)
-            rcs.append(p.returncode)
-        for i, (out, rc) in enumerate(zip(outs, rcs)):
-            if rc != 0:
-                sys.stderr.write(f"--- child {i} rc={rc} ---\n{out}\n")
-        if any(rcs):
-            raise SystemExit("child process failed")
+        # The ephemeral port is picked bind-then-close, so another process
+        # can (rarely) claim it before the coordinator binds it — detect
+        # that signature and retry the whole attempt on a fresh port.
+        for retry in range(3):
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+            outs, rcs = attempt(port)
+            if not any(rcs):
+                break
+            bind_race = any(
+                rc != 0 and (
+                    "address already in use" in out.lower()
+                    or "failed to bind" in out.lower()
+                )
+                for out, rc in zip(outs, rcs)
+            )
+            if not bind_race or retry == 2:
+                for i, (out, rc) in enumerate(zip(outs, rcs)):
+                    if rc != 0:
+                        sys.stderr.write(f"--- child {i} rc={rc} ---\n{out}\n")
+                raise SystemExit("child process failed")
+            print(f"[smoke] coordinator port {port} was taken; retrying")
 
     reports = []
     for out in outs[:2]:

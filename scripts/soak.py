@@ -50,11 +50,28 @@ def read_metrics(path: str):
     return out
 
 
-def launch(cmd):
-    return subprocess.Popen(
-        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True,
-    )
+def launch(cmd, log_path):
+    """Start the trainer with stdout+stderr appended to ``log_path``.
+
+    Output goes to a file, NOT a pipe: nothing drains a pipe while the
+    monitor loop watches metrics.jsonl, and a full 64 KB pipe buffer would
+    block the child (tqdm alone overflows it long before the kill point on
+    realistic step counts).
+    """
+    f = open(log_path, "a")
+    p = subprocess.Popen(cmd, cwd=REPO, stdout=f, stderr=subprocess.STDOUT)
+    p._soak_log = f  # closed by wait_and_read
+    return p
+
+
+def wait_and_read(p, log_path, timeout):
+    """Wait for the child, close its log handle, return the log text."""
+    try:
+        p.wait(timeout=timeout)
+    finally:
+        p._soak_log.close()
+    with open(log_path) as f:
+        return f.read()
 
 
 def main() -> None:
@@ -90,6 +107,7 @@ def main() -> None:
             f"{metrics_path} already exists — pick a fresh --name or remove "
             "the old run dir (the soak needs a clean metric log to analyze)"
         )
+    os.makedirs(run_dir, exist_ok=True)  # launch logs live here
 
     cmd = [
         sys.executable, "train.py",
@@ -109,7 +127,8 @@ def main() -> None:
     print(f"[soak] launch 1: {' '.join(cmd)}")
     print(f"[soak] will SIGINT once a GAN metric at step>={kill_after_step} "
           "is logged")
-    p1 = launch(cmd)
+    log1 = os.path.join(run_dir, "soak_launch1.log")
+    p1 = launch(cmd, log1)
     t0 = time.time()
     killed_at = None
     while p1.poll() is None:
@@ -126,7 +145,7 @@ def main() -> None:
             p1.send_signal(signal.SIGINT)
             break
         time.sleep(2)
-    out1, _ = p1.communicate(timeout=600)
+    out1 = wait_and_read(p1, log1, timeout=600)
     if killed_at is None:
         raise SystemExit(
             f"[soak] run finished (rc={p1.returncode}) before the kill "
@@ -142,9 +161,10 @@ def main() -> None:
 
     # --- 3. relaunch: must resume and run to completion ---
     print("[soak] launch 2 (resume)")
-    p2 = launch(cmd)
+    log2 = os.path.join(run_dir, "soak_launch2.log")
+    p2 = launch(cmd, log2)
     try:
-        out2, _ = p2.communicate(timeout=args.timeout)
+        out2 = wait_and_read(p2, log2, timeout=args.timeout)
     except subprocess.TimeoutExpired:
         p2.kill()
         raise SystemExit("[soak] launch 2 exceeded timeout")
