@@ -106,6 +106,12 @@ DEFAULTS: dict = {
         "gan_shared_forward": True,
         # rematerialize VGG activations in the GAN step backward
         "remat_vgg": False,
+        # exponential moving average of the generator params, updated
+        # in-jit after every optimizer step (ema = d*ema + (1-d)*params).
+        # 0 disables (reference behavior). When on, validation metrics,
+        # image panels, and checkpoint exports use the EMA weights — the
+        # standard SRGAN-family stabilizer (ESRGAN uses 0.999).
+        "ema_decay": 0.0,
         "resume": True,  # auto-resume from latest Orbax checkpoint
         "checkpoint_dir": None,  # default: runs/<experiment.name>/ckpt
         "keep_checkpoints": 5,  # GAN-phase Orbax retention (max_to_keep)

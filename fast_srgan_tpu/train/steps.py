@@ -52,7 +52,15 @@ from fast_srgan_tpu.train.losses import bce_with_logits_loss, smooth_l1_loss
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState (params + AdamW state + step counter)."""
+    """flax TrainState (params + AdamW state + step counter).
+
+    ``ema_params`` (generator state only, ``training.ema_decay`` > 0) holds
+    the exponential moving average of ``params``, updated inside the jitted
+    step right after the optimizer update; ``None`` when EMA is off, so the
+    disabled path carries zero extra state or compute.
+    """
+
+    ema_params: Any = None
 
 
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
@@ -177,12 +185,29 @@ def build_bundle(
     if mesh is not None and config.parallel.scale_lr:
         g_lr *= mesh.size
         d_lr *= mesh.size
+    ema_decay = float(config.training.get("ema_decay", 0.0) or 0.0)
     g_state = TrainState.create(
-        apply_fn=generator.apply, params=g_params, tx=make_optimizer(g_lr)
+        apply_fn=generator.apply, params=g_params, tx=make_optimizer(g_lr),
+        # a COPY of the params: both fields are donated together, and
+        # aliased buffers would be donated twice (runtime error)
+        ema_params=(
+            jax.tree.map(jnp.array, g_params) if ema_decay else None
+        ),
     )
     d_state = TrainState.create(
         apply_fn=discriminator.apply, params=d_params, tx=make_optimizer(d_lr)
     )
+
+    def ema_update(state: TrainState) -> TrainState:
+        """Post-optimizer EMA lerp (plain, ESRGAN-style: no debiasing —
+        the average starts AT the initial params, not at zero)."""
+        if not ema_decay:
+            return state
+        new_ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, state.params,
+        )
+        return state.replace(ema_params=new_ema)
 
     # ---------------- step definitions ----------------
 
@@ -245,7 +270,7 @@ def build_bundle(
             grads, loss = _accum_grads(
                 loss_and_grad, g_state.params, _microbatches(hr_u8)
             )
-        return g_state.apply_gradients(grads=grads), loss
+        return ema_update(g_state.apply_gradients(grads=grads)), loss
 
     # Shared-forward GAN step (default): the reference evaluates the
     # generator twice per iteration — once detached for the D update, once
@@ -319,7 +344,7 @@ def build_bundle(
             g_loss_from_sr, has_aux=True
         )(sr)
         (g_grads,) = g_vjp(d_sr)
-        g_state = g_state.apply_gradients(grads=g_grads)
+        g_state = ema_update(g_state.apply_gradients(grads=g_grads))
 
         metrics = {
             "d_loss": d_loss,
@@ -393,7 +418,7 @@ def build_bundle(
                     g_state.params, (hr_u8, k_g)
                 )
             )
-            g_state = g_state.apply_gradients(grads=g_grads)
+            g_state = ema_update(g_state.apply_gradients(grads=g_grads))
         else:
             hrs = _microbatches(hr_u8)
             d_grads, (d_loss, (loss_real, loss_fake)) = _accum_grads(
@@ -405,7 +430,7 @@ def build_bundle(
                 make_g_loss_and_grad(d_state.params), g_state.params,
                 (hrs, jax.random.split(k_g, accum)),
             )
-            g_state = g_state.apply_gradients(grads=g_grads)
+            g_state = ema_update(g_state.apply_gradients(grads=g_grads))
 
         metrics = {
             "d_loss": d_loss,

@@ -45,6 +45,10 @@ class Trainer:
     def __init__(self, config, mesh=None):
         self.config = config
         self.mesh = mesh
+        # training.ema_decay > 0: the jitted steps maintain an EMA of the
+        # generator params (steps.py); validation, panels and exports then
+        # run on the averaged weights (the SRGAN-family stabilizer).
+        self._ema = float(config.training.get("ema_decay", 0) or 0) > 0
         self.writer = MetricsWriter(
             os.path.join("runs", config.experiment.name)
         )
@@ -83,7 +87,14 @@ class Trainer:
             params = jax.tree.map(
                 jnp.asarray, load_reference_generator_params(init_pt)
             )
-            self.g_state = self.g_state.replace(params=params)
+            self.g_state = self.g_state.replace(
+                params=params,
+                # EMA restarts AT the warm-start point, not the random
+                # init; a copy, because params/ema are donated together
+                ema_params=(
+                    jax.tree.map(jnp.array, params) if self._ema else None
+                ),
+            )
             init_opt = config.training.get("init_generator_optim_pt")
             if init_opt:
                 import torch
@@ -125,20 +136,31 @@ class Trainer:
         return jnp.asarray(batch_u8)
 
     def _state_tree(self) -> Dict[str, Any]:
-        return {
+        tree = {
             "g_params": self.g_state.params,
             "g_opt": self.g_state.opt_state,
             "d_params": self.d_state.params,
             "d_opt": self.d_state.opt_state,
         }
+        if self._ema:
+            # Key present only when EMA is on: checkpoints written with a
+            # given ema_decay setting restore under the same setting
+            # (toggling EMA across a resume is not supported).
+            tree["g_ema"] = self.g_state.ema_params
+        return tree
 
     def _load_state_tree(self, tree: Dict[str, Any], step: int) -> None:
         self.g_state = self.g_state.replace(
-            params=tree["g_params"], opt_state=tree["g_opt"], step=step
+            params=tree["g_params"], opt_state=tree["g_opt"], step=step,
+            ema_params=tree["g_ema"] if self._ema else None,
         )
         self.d_state = self.d_state.replace(
             params=tree["d_params"], opt_state=tree["d_opt"], step=step
         )
+
+    def _eval_params(self):
+        """Weights used for val metrics/panels: EMA when enabled."""
+        return self.g_state.ema_params if self._ema else self.g_state.params
 
     def validate(self, val_sampler: CropSampler, phase: str, step: int) -> Dict[str, float]:
         """Full deterministic pass: aggregate PSNR + mean SSIM on [0,1] images
@@ -165,7 +187,7 @@ class Trainer:
                 batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
                 mask[valid:] = 0.0
             b_sse, b_ssim, b_count = self.bundle.eval_step(
-                self.g_state.params, self._put(batch), self._put(mask)
+                self._eval_params(), self._put(batch), self._put(mask)
             )
             sse += float(b_sse)
             ssim_sum += float(b_ssim)
@@ -212,7 +234,7 @@ class Trainer:
 
     def _log_generated(self, tag: str, step: int) -> None:
         panel = self.bundle.render_step(
-            self.g_state.params, jnp.asarray(self.fixed_lr01)
+            self._eval_params(), jnp.asarray(self.fixed_lr01)
         )
         self.writer.images(tag, np.asarray(panel), step)
 
@@ -414,6 +436,15 @@ class Trainer:
                 ),
                 f"generator_epoch_{step}.pt",
             )
+            if self._ema:
+                # The averaged weights are the ones to deploy; the raw
+                # generator above keeps the reference 4-file set intact.
+                dump(
+                    generator_params_to_torch_state_dict(
+                        jax.device_get(self.g_state.ema_params)
+                    ),
+                    f"generator_ema_epoch_{step}.pt",
+                )
             dump(
                 discriminator_params_to_torch_state_dict(
                     jax.device_get(self.d_state.params)

@@ -285,3 +285,74 @@ class TestGradAccum:
         bundle, g_state, _, _ = build_bundle(tiny_config(grad_accum=3))
         with pytest.raises(ValueError, match="not divisible"):
             bundle.pretrain_step(g_state, jnp.asarray(synthetic_batch(rng, batch=4)))
+
+
+class TestEma:
+    """training.ema_decay: in-jit generator weight EMA (steps.py)."""
+
+    def test_pretrain_ema_is_exact_lerp_and_params_unchanged(self, rng):
+        d = 0.75
+        bundle_e, gs_e, _, _ = build_bundle(tiny_config(ema_decay=d))
+        bundle_r, gs_r, _, _ = build_bundle(tiny_config())
+        batch = jnp.asarray(synthetic_batch(rng))
+
+        def host(tree):  # snapshot before donation invalidates the buffers
+            return jax.tree.map(lambda x: np.asarray(x).copy(), tree)
+
+        p_hist = [host(gs_r.params)]
+        for _ in range(3):
+            gs_r, _ = bundle_r.pretrain_step(gs_r, batch)
+            p_hist.append(host(gs_r.params))
+        expected = p_hist[0]
+        for p in p_hist[1:]:
+            expected = jax.tree.map(
+                lambda e, q: d * e + (1 - d) * q, expected, p
+            )
+        for _ in range(3):
+            gs_e, _ = bundle_e.pretrain_step(gs_e, batch)
+        # EMA must not perturb the training trajectory itself
+        for a, b in zip(
+            jax.tree.leaves(gs_e.params), jax.tree.leaves(p_hist[-1])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), b)
+        for a, b in zip(
+            jax.tree.leaves(gs_e.ema_params), jax.tree.leaves(expected)
+        ):
+            np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
+
+    def test_gan_shared_and_recompute_agree_on_ema(self, rng):
+        batch = jnp.asarray(synthetic_batch(rng))
+        key = jax.random.key(3)
+        results = []
+        for shared in (True, False):
+            bundle, gs, ds, vp = build_bundle(
+                tiny_config(ema_decay=0.9, gan_shared_forward=shared)
+            )
+            gs, ds, _ = bundle.gan_step(gs, ds, vp, batch, key)
+            gs, ds, _ = bundle.gan_step(
+                gs, ds, vp, batch, jax.random.fold_in(key, 1)
+            )
+            results.append(gs)
+        a, b = results
+        for x, y in zip(
+            jax.tree.leaves(a.ema_params), jax.tree.leaves(b.ema_params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-5
+            )
+        # the average lags the raw params (they must differ after updates)
+        diffs = [
+            float(np.abs(np.asarray(x) - np.asarray(y)).max())
+            for x, y in zip(
+                jax.tree.leaves(a.ema_params), jax.tree.leaves(a.params)
+            )
+        ]
+        assert max(diffs) > 0
+
+    def test_disabled_by_default(self, rng):
+        bundle, gs, ds, vp = build_bundle(tiny_config())
+        assert gs.ema_params is None
+        gs, _, _ = bundle.gan_step(
+            gs, ds, vp, jnp.asarray(synthetic_batch(rng)), jax.random.key(0)
+        )
+        assert gs.ema_params is None

@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 from PIL import Image
@@ -233,4 +234,40 @@ class TestPretrainInterruptResume:
         trainer2.pretrain(loader2, sampler)
         assert int(trainer2.g_state.step) == 4
         assert trainer2.pretrain_ckpt.has_step(PRETRAIN_STEP)
+        trainer2.close()
+
+
+class TestEmaTrainer:
+    def test_ema_trains_checkpoints_and_resumes(
+        self, npy_dir, tmp_path, monkeypatch
+    ):
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="ema")
+        config.training.ema_decay = 0.9
+        config.training.iterations = 4
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+        trainer = Trainer(config)
+        trainer.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer.train(PrefetchLoader(sampler, 2, 4, workers=1), sampler)
+        ema_leaves = [
+            np.asarray(x)
+            for x in jax.tree.leaves(trainer.g_state.ema_params)
+        ]
+        raw_leaves = [
+            np.asarray(x) for x in jax.tree.leaves(trainer.g_state.params)
+        ]
+        assert any(
+            np.abs(a - b).max() > 0 for a, b in zip(ema_leaves, raw_leaves)
+        ), "EMA should lag the raw params after updates"
+        trainer.close()
+
+        # a fresh trainer restores BOTH trees from the latest checkpoint
+        trainer2 = Trainer(config)
+        trainer2.train(PrefetchLoader(sampler, 2, 4, workers=1), sampler)
+        for a, x in zip(
+            ema_leaves, jax.tree.leaves(trainer2.g_state.ema_params)
+        ):
+            np.testing.assert_array_equal(a, np.asarray(x))
         trainer2.close()
