@@ -356,3 +356,25 @@ class TestEma:
             gs, ds, vp, jnp.asarray(synthetic_batch(rng)), jax.random.key(0)
         )
         assert gs.ema_params is None
+
+    def test_ema_on_8_device_mesh_matches_single_device(self):
+        """EMA tree rides the replicated state sharding + donation."""
+        config = tiny_config(ema_decay=0.9)
+        batch_np = synthetic_batch(np.random.default_rng(77), batch=8)
+        key = jax.random.key(5)
+
+        bundle1, g1, d1, v1 = build_bundle(config)
+        g1, d1, _ = bundle1.gan_step(g1, d1, v1, jnp.asarray(batch_np), key)
+
+        mesh = make_mesh(8)
+        bundle8, g8, d8, v8 = build_bundle(config, mesh=mesh)
+        g8, d8, _ = bundle8.gan_step(
+            g8, d8, v8, shard_batch(batch_np, mesh), key
+        )
+
+        for a, b in zip(
+            jax.tree.leaves(g1.ema_params), jax.tree.leaves(g8.ema_params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
