@@ -106,6 +106,11 @@ DEFAULTS: dict = {
         "gan_shared_forward": True,
         # rematerialize VGG activations in the GAN step backward
         "remat_vgg": False,
+        # per-sample dihedral augmentation (flips + transpose) of the HR
+        # crops, on device inside the jitted step before LR synthesis.
+        # false = the reference recipe (random crops are the only
+        # augmentation, reference dataloader.py:24-38).
+        "augment": False,
         # exponential moving average of the generator params, updated
         # in-jit after every optimizer step (ema = d*ema + (1-d)*params).
         # 0 disables (reference behavior). When on, validation metrics,

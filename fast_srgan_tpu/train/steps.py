@@ -47,6 +47,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fast_srgan_tpu.metrics.psnr_ssim import ssim_per_image
 from fast_srgan_tpu.models import Discriminator, Generator, VGG19Features
+from fast_srgan_tpu.ops.augment import augment_dihedral
 from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
 from fast_srgan_tpu.train.losses import bce_with_logits_loss, smooth_l1_loss
 
@@ -211,6 +212,21 @@ def build_bundle(
 
     # ---------------- step definitions ----------------
 
+    # training.augment (default false = the reference recipe, crops only):
+    # per-sample dihedral augmentation of the uint8 HR crops inside the
+    # jitted step, before LR synthesis (ops/augment.py). Pretrain has no
+    # per-step key in its signature, so it derives one deterministically
+    # from the step counter — which is restored on resume, so an
+    # interrupted augmented run replays the same transforms.
+    augment = bool(config.training.get("augment", False))
+    aug_base = (
+        jax.random.fold_in(jax.random.key(config.experiment.seed), 0xD4)
+        if augment else None
+    )
+
+    def _maybe_augment(hr_u8: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        return augment_dihedral(hr_u8, key) if augment else hr_u8
+
     # Gradient accumulation (training.grad_accum=k, default 1): a pure
     # memory knob — the step still takes the full training.batch_size
     # batch but scans over k micro-batches of B/k, averaging gradients
@@ -255,6 +271,11 @@ def build_bundle(
         return mean_grads, mean_outs
 
     def _pretrain(g_state: TrainState, hr_u8: jnp.ndarray):
+        if augment:
+            hr_u8 = _maybe_augment(
+                hr_u8, jax.random.fold_in(aug_base, g_state.step)
+            )
+
         def loss_and_grad(params, hr_i):
             lr_img, hr_img = prepare_batch(hr_i, lr_size)
 
@@ -309,6 +330,9 @@ def build_bundle(
         hr_u8: jnp.ndarray,
         rng: jax.Array,
     ):
+        if augment:
+            rng, k_aug = jax.random.split(rng, 2)
+            hr_u8 = _maybe_augment(hr_u8, k_aug)
         lr_img, hr_img = prepare_batch(hr_u8, lr_size)
         k_d, k_g = jax.random.split(rng, 2)
         k_real, k_fake = jax.random.split(k_d, 2)
@@ -407,6 +431,12 @@ def build_bundle(
 
             return g_loss_and_grad
 
+        if augment:
+            # Same split order as the shared form, so both formulations see
+            # identical augmented batches under the same key (equivalence
+            # test in tests/test_train_steps.py).
+            rng, k_aug = jax.random.split(rng, 2)
+            hr_u8 = _maybe_augment(hr_u8, k_aug)
         k_d, k_g = jax.random.split(rng, 2)
         if accum == 1:
             (d_loss, (loss_real, loss_fake)), d_grads = d_loss_and_grad(
