@@ -76,6 +76,15 @@ DEFAULTS: dict = {
         "numpy_dir": "data/div2k_np",
         "lr_image_size": 24,
         "scale_factor": 4,
+        # --- TPU additions ---
+        # Held-out validation images. The reference validates on random
+        # crops of the TRAINING images (reference train.py:81-91 — no
+        # held-out split exists there). Set val_image_dir to a directory
+        # of validation images (e.g. DIV2K_valid_HR) to compute PSNR/SSIM
+        # and render fixed panels on unseen data instead. val_numpy_dir
+        # defaults to "<numpy_dir>_val".
+        "val_image_dir": None,
+        "val_numpy_dir": None,
     },
     "generator": {"n_filters": 64, "n_layers": 8},
     # n_layers is accepted for schema parity with the reference but unused there

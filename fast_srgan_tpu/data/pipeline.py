@@ -301,9 +301,23 @@ def list_numpy_files(numpy_dir: str) -> List[str]:
     ]
 
 
+def resolve_val_numpy_dir(config) -> Optional[str]:
+    """The held-out-validation .npy cache dir, or None when data.val_image_dir
+    is unset (reference behavior: validate on the training images)."""
+    if not config.data.get("val_image_dir"):
+        return None
+    return config.data.get("val_numpy_dir") or (
+        config.data.numpy_dir.rstrip("/") + "_val"
+    )
+
+
 def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
     """Build (val_sampler, pretrain_loader, train_loader) per the reference
-    wiring (train.py:57-113) from a config node."""
+    wiring (train.py:57-113) from a config node.
+
+    With data.val_image_dir set, the val sampler reads the held-out cache
+    (resolve_val_numpy_dir) instead of the training files — train.py
+    preprocesses that directory before calling here."""
     paths = list_numpy_files(config.data.numpy_dir)
     sampler = CropSampler(
         paths,
@@ -312,6 +326,23 @@ def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
         seed=config.experiment.seed,
         shard=shard,
     )
+    val_sampler = sampler
+    val_dir = resolve_val_numpy_dir(config)
+    if val_dir:
+        val_paths = list_numpy_files(val_dir)
+        if not val_paths:
+            raise ValueError(
+                f"data.val_image_dir is set but the val cache {val_dir!r} "
+                "has no .npy files (expected train.py to have preprocessed "
+                "data.val_image_dir into it)"
+            )
+        val_sampler = CropSampler(
+            val_paths,
+            config.data.lr_image_size,
+            config.data.scale_factor,
+            seed=config.experiment.seed,
+            shard=shard,
+        )
     batch = config.training.batch_size
     # Honor the configured count (the reference default is 16 threads,
     # train.py:84 there); floor at 1, cap at 64 as a footgun guard only.
@@ -322,4 +353,4 @@ def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
     train_loader = PrefetchLoader(
         sampler, batch, config.training.iterations, workers=workers
     )
-    return sampler, pretrain_loader, train_loader
+    return val_sampler, pretrain_loader, train_loader

@@ -207,3 +207,67 @@ class TestCacheCompleteness:
         target = str(tmp_path / "cache")
         ensure_numpy_cache(img_dir, target)
         assert len(list_numpy_files(target)) == 2
+
+
+class TestValSplit:
+    """data.val_image_dir: held-out validation (make_loaders wiring)."""
+
+    def _config(self, npy_dir, **data):
+        from fast_srgan_tpu.config import default_config
+
+        return default_config(
+            data={
+                "numpy_dir": npy_dir,
+                "lr_image_size": 8,
+                "scale_factor": 4,
+                **data,
+            },
+            training={"pretrain_iterations": 2, "iterations": 2,
+                      "batch_size": 2, "num_workers": 1},
+        )
+
+    def test_default_val_is_the_training_sampler(self, dataset):
+        from fast_srgan_tpu.data.pipeline import make_loaders
+
+        _, npy_dir = dataset
+        val, pre, tr = make_loaders(self._config(npy_dir))
+        assert val is pre.sampler is tr.sampler  # reference behavior
+
+    def test_val_dir_builds_a_separate_sampler(self, dataset, tmp_path):
+        from fast_srgan_tpu.data.pipeline import make_loaders
+
+        _, npy_dir = dataset
+        val_np = str(tmp_path / "val_np")
+        os.makedirs(val_np)
+        rng = np.random.default_rng(9)
+        for i in range(3):
+            np.save(
+                os.path.join(val_np, f"v{i}.npy"),
+                rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+            )
+        cfg = self._config(
+            npy_dir, val_image_dir="/does/not/matter", val_numpy_dir=val_np
+        )
+        val, pre, _ = make_loaders(cfg)
+        assert val is not pre.sampler
+        assert len(val) == 3 and all("v" in os.path.basename(p) for p in val.paths)
+
+    def test_default_val_numpy_dir_derives_from_numpy_dir(self, dataset):
+        from fast_srgan_tpu.data.pipeline import resolve_val_numpy_dir
+
+        _, npy_dir = dataset
+        cfg = self._config(npy_dir, val_image_dir="/some/dir")
+        assert resolve_val_numpy_dir(cfg) == npy_dir.rstrip("/") + "_val"
+        assert resolve_val_numpy_dir(self._config(npy_dir)) is None
+
+    def test_empty_val_cache_raises(self, dataset, tmp_path):
+        from fast_srgan_tpu.data.pipeline import make_loaders
+
+        _, npy_dir = dataset
+        empty = str(tmp_path / "empty_val")
+        os.makedirs(empty)
+        cfg = self._config(
+            npy_dir, val_image_dir="/some/dir", val_numpy_dir=empty
+        )
+        with pytest.raises(ValueError, match="no .npy files"):
+            make_loaders(cfg)

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 
 from fast_srgan_tpu.config import load_config
-from fast_srgan_tpu.data.pipeline import make_loaders
+from fast_srgan_tpu.data.pipeline import make_loaders, resolve_val_numpy_dir
 from fast_srgan_tpu.data.preprocess import ensure_numpy_cache
 from fast_srgan_tpu.parallel.mesh import make_mesh
 from fast_srgan_tpu.train.trainer import Trainer
@@ -74,6 +74,13 @@ def main(argv=None) -> None:
         config.data.numpy_dir,
         workers=config.training.num_workers,
     )
+    val_numpy_dir = resolve_val_numpy_dir(config)
+    if val_numpy_dir:
+        ensure_numpy_cache(
+            config.data.val_image_dir,
+            val_numpy_dir,
+            workers=config.training.num_workers,
+        )
     import os
 
     if not any(f.endswith(".npy") for f in os.listdir(config.data.numpy_dir)):
