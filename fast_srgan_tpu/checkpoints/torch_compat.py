@@ -395,11 +395,30 @@ def discriminator_torch_param_order() -> list:
 
 
 def _adam_state(opt_state):
-    """Find the ScaleByAdamState in an optax.adamw chain state."""
+    """Find the ScaleByAdamState in an optax.adamw chain state.
+
+    Recursive: wrapping transforms (training.grad_clip's
+    clip_by_global_norm, schedule states) nest the adamw chain's state
+    tuple one level down."""
     for part in opt_state:
         if hasattr(part, "mu") and hasattr(part, "nu"):
             return part
+        if isinstance(part, tuple) and not hasattr(part, "_fields"):
+            try:
+                return _adam_state(part)
+            except ValueError:
+                pass
     raise ValueError("opt_state does not contain a ScaleByAdamState")
+
+
+def _replace_state_part(opt_state, old, new):
+    """Rebuild a (possibly nested) chain state with ``old`` swapped for
+    ``new``; leaves every other part untouched."""
+    if opt_state is old:
+        return new
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(_replace_state_part(p, old, new) for p in opt_state)
+    return opt_state
 
 
 def _optimizer_to_torch(opt_state, params_to_sd, order, lr):
@@ -448,7 +467,7 @@ def _optimizer_from_torch(sd, sd_to_params, order, like_opt_state):
         mu=jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), adam.mu, mu),
         nu=jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), adam.nu, nu),
     )
-    return tuple(new_adam if part is adam else part for part in like_opt_state)
+    return _replace_state_part(like_opt_state, adam, new_adam)
 
 
 def generator_optimizer_to_torch_state_dict(

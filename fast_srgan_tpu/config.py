@@ -115,6 +115,18 @@ DEFAULTS: dict = {
         "gan_shared_forward": True,
         # rematerialize VGG activations in the GAN step backward
         "remat_vgg": False,
+        # global-gradient-norm clipping before AdamW, both optimizers
+        # (0 = off, the reference; a standard GAN-stability knob)
+        "grad_clip": 0.0,
+        # LR schedule: null = constant (the reference), "step" = multiply
+        # by lr_decay_factor at each lr_decay_steps milestone (ESRGAN
+        # halving recipe), "cosine" = decay to lr_min_ratio*base over the
+        # phase horizon. Position rides in the checkpointed optimizer
+        # state, so resume continues the decay exactly.
+        "lr_schedule": None,
+        "lr_decay_steps": [],
+        "lr_decay_factor": 0.5,
+        "lr_min_ratio": 0.1,
         # per-sample dihedral augmentation (flips + transpose) of the HR
         # crops, on device inside the jitted step before LR synthesis.
         # false = the reference recipe (random crops are the only

@@ -64,11 +64,58 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+def make_optimizer(
+    learning_rate, grad_clip: float = 0.0
+) -> optax.GradientTransformation:
     """AdamW with torch defaults (reference trainer.py:33-38): betas
-    (0.9, 0.999), eps 1e-8, weight_decay 0.01."""
-    return optax.adamw(
+    (0.9, 0.999), eps 1e-8, weight_decay 0.01.
+
+    ``learning_rate`` may be a float (the reference: constant) or an optax
+    schedule callable (training.lr_schedule — see make_lr_schedule).
+    ``grad_clip`` > 0 clips the global gradient norm before AdamW
+    (training.grad_clip; the reference does not clip)."""
+    adamw = optax.adamw(
         learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+    )
+    if grad_clip and grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(float(grad_clip)), adamw)
+    return adamw
+
+
+def make_lr_schedule(config, base_lr: float, horizon: int):
+    """Resolve training.lr_schedule to a float or an optax schedule.
+
+    The reference trains at constant LR for the whole run (trainer.py:33-38
+    + configs/config.yaml:24-25); ``lr_schedule: null`` preserves that.
+    Opt-ins (standard SRGAN-family recipes):
+
+      * ``"step"``  — multiply LR by training.lr_decay_factor at each
+        optimizer-step milestone in training.lr_decay_steps (the ESRGAN
+        halving recipe).
+      * ``"cosine"`` — cosine decay from base_lr to
+        base_lr * training.lr_min_ratio over ``horizon`` optimizer steps
+        (G: pretrain + GAN iterations; D: GAN iterations).
+
+    The schedule position is the optax update count inside the optimizer
+    state, which is checkpointed — resume continues the decay exactly.
+    """
+    sched = config.training.get("lr_schedule")
+    if not sched:
+        return base_lr
+    if sched == "cosine":
+        return optax.cosine_decay_schedule(
+            base_lr,
+            max(1, int(horizon)),
+            alpha=float(config.training.get("lr_min_ratio", 0.1)),
+        )
+    if sched == "step":
+        steps = config.training.get("lr_decay_steps") or []
+        factor = float(config.training.get("lr_decay_factor", 0.5))
+        return optax.piecewise_constant_schedule(
+            base_lr, {int(s): factor for s in steps}
+        )
+    raise ValueError(
+        f"unknown training.lr_schedule {sched!r} (null, 'step', 'cosine')"
     )
 
 
@@ -186,9 +233,16 @@ def build_bundle(
     if mesh is not None and config.parallel.scale_lr:
         g_lr *= mesh.size
         d_lr *= mesh.size
+    g_lr = make_lr_schedule(
+        config, g_lr,
+        config.training.pretrain_iterations + config.training.iterations,
+    )
+    d_lr = make_lr_schedule(config, d_lr, config.training.iterations)
     ema_decay = float(config.training.get("ema_decay", 0.0) or 0.0)
+    grad_clip = float(config.training.get("grad_clip", 0.0) or 0.0)
     g_state = TrainState.create(
-        apply_fn=generator.apply, params=g_params, tx=make_optimizer(g_lr),
+        apply_fn=generator.apply, params=g_params,
+        tx=make_optimizer(g_lr, grad_clip),
         # a COPY of the params: both fields are donated together, and
         # aliased buffers would be donated twice (runtime error)
         ema_params=(
@@ -196,7 +250,8 @@ def build_bundle(
         ),
     )
     d_state = TrainState.create(
-        apply_fn=discriminator.apply, params=d_params, tx=make_optimizer(d_lr)
+        apply_fn=discriminator.apply, params=d_params,
+        tx=make_optimizer(d_lr, grad_clip),
     )
 
     def ema_update(state: TrainState) -> TrainState:

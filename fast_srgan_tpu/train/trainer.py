@@ -35,7 +35,11 @@ from fast_srgan_tpu.data.pipeline import CropSampler, PrefetchLoader
 from fast_srgan_tpu.metrics.psnr_ssim import psnr_from_accumulator
 from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
 from fast_srgan_tpu.parallel.mesh import shard_batch
-from fast_srgan_tpu.train.steps import build_bundle, prepare_batch
+from fast_srgan_tpu.train.steps import (
+    build_bundle,
+    make_lr_schedule,
+    prepare_batch,
+)
 from fast_srgan_tpu.utils.logging import MetricsWriter
 
 
@@ -452,18 +456,23 @@ class Trainer:
                 f"discriminator_epoch_{step}.pt",
             )
             # Export the lr the optimizers ACTUALLY ran with: scale_lr
-            # multiplies the config lr by the mesh size (steps.py), and a
-            # torch resume at the raw config lr would silently change
-            # training dynamics.
+            # multiplies the config lr by the mesh size (steps.py), and
+            # training.lr_schedule makes it step-dependent — a torch resume
+            # at the raw config lr would silently change training dynamics.
             lr_scale = (
                 self.mesh.size
                 if self.mesh is not None and self.config.parallel.scale_lr
                 else 1
             )
+            cfg_t = self.config.training
+            g_horizon = cfg_t.pretrain_iterations + cfg_t.iterations
             dump(
                 generator_optimizer_to_torch_state_dict(
                     jax.device_get(self.g_state.opt_state), n_layers=n_layers,
-                    lr=self.config.training.generator_lr * lr_scale,
+                    lr=self._effective_lr(
+                        cfg_t.generator_lr * lr_scale, g_horizon,
+                        self.g_state.opt_state,
+                    ),
                     n_up=self._n_up(),
                 ),
                 f"generator_optim_epoch_{step}.pt",
@@ -471,10 +480,23 @@ class Trainer:
             dump(
                 discriminator_optimizer_to_torch_state_dict(
                     jax.device_get(self.d_state.opt_state),
-                    lr=self.config.training.discriminator_lr * lr_scale,
+                    lr=self._effective_lr(
+                        cfg_t.discriminator_lr * lr_scale, cfg_t.iterations,
+                        self.d_state.opt_state,
+                    ),
                 ),
                 f"discriminator_optim_epoch_{step}.pt",
             )
+
+    def _effective_lr(self, base: float, horizon: int, opt_state) -> float:
+        """The lr in effect at the current optimizer count (= base when
+        training.lr_schedule is null)."""
+        lr = make_lr_schedule(self.config, base, horizon)
+        if callable(lr):
+            from fast_srgan_tpu.checkpoints.torch_compat import _adam_state
+
+            return float(lr(int(_adam_state(opt_state).count)))
+        return lr
 
     def close(self) -> None:
         self.ckpt.close()

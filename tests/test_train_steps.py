@@ -378,3 +378,100 @@ class TestEma:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
+
+
+class TestLrSchedule:
+    """training.lr_schedule: step/cosine decay (constant = reference)."""
+
+    def test_step_decay_to_zero_freezes_updates(self, rng):
+        # factor 0 at milestone 1: the 1st update applies, the 2nd is a
+        # no-op (optax adamw scales weight decay by lr too) — an exact
+        # signature of the milestone firing at the right count.
+        bundle, gs, _, _ = build_bundle(
+            tiny_config(lr_schedule="step", lr_decay_steps=[1],
+                        lr_decay_factor=0.0)
+        )
+        batch = jnp.asarray(synthetic_batch(rng))
+        gs, _ = bundle.pretrain_step(gs, batch)
+        after_1 = [np.asarray(x).copy() for x in jax.tree.leaves(gs.params)]
+        gs, _ = bundle.pretrain_step(gs, batch)
+        for a, b in zip(after_1, jax.tree.leaves(gs.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_cosine_differs_from_constant_but_still_trains(self, rng):
+        batch = jnp.asarray(synthetic_batch(rng))
+        leaves = []
+        for cfg in (tiny_config(lr_schedule="cosine"), tiny_config()):
+            bundle, gs, _, _ = build_bundle(cfg)
+            for _ in range(3):
+                gs, loss = bundle.pretrain_step(gs, batch)
+            assert np.isfinite(float(loss))
+            leaves.append([np.asarray(x) for x in jax.tree.leaves(gs.params)])
+        assert any(
+            np.abs(a - b).max() > 0 for a, b in zip(leaves[0], leaves[1])
+        )
+
+    def test_unknown_schedule_rejected(self):
+        with pytest.raises(ValueError, match="lr_schedule"):
+            build_bundle(tiny_config(lr_schedule="linear"))
+
+    def test_torch_optimizer_export_with_schedule(self, rng):
+        # the AdamW moments live deeper in the chain with a schedule state
+        # present; the exporter must still find them.
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            generator_optimizer_to_torch_state_dict,
+        )
+
+        config = tiny_config(lr_schedule="cosine")
+        bundle, gs, _, _ = build_bundle(config)
+        gs, _ = bundle.pretrain_step(gs, jnp.asarray(synthetic_batch(rng)))
+        sd = generator_optimizer_to_torch_state_dict(
+            jax.device_get(gs.opt_state),
+            n_layers=config.generator.n_layers, lr=1e-4, n_up=2,
+        )
+        assert sd["param_groups"][0]["lr"] == 1e-4
+
+
+class TestGradClip:
+    """training.grad_clip: global-norm clipping ahead of AdamW."""
+
+    def test_huge_clip_is_exact_noop(self, rng):
+        batch = jnp.asarray(synthetic_batch(rng))
+        leaves = []
+        for cfg in (tiny_config(grad_clip=1e9), tiny_config()):
+            bundle, gs, _, _ = build_bundle(cfg)
+            gs, _ = bundle.pretrain_step(gs, batch)
+            leaves.append([np.asarray(x) for x in jax.tree.leaves(gs.params)])
+        for a, b in zip(*leaves):
+            np.testing.assert_array_equal(a, b)
+
+    def test_clip_changes_updates_and_is_finite(self, rng):
+        batch = jnp.asarray(synthetic_batch(rng))
+        bundle, gs, ds, vp = build_bundle(tiny_config(grad_clip=1e-3))
+        gs, ds, m = bundle.gan_step(gs, ds, vp, batch, jax.random.key(1))
+        for v in m.values():
+            assert np.isfinite(float(v))
+
+    def test_torch_optimizer_roundtrip_with_clip(self, rng):
+        # the AdamW moments nest one level deeper under the clip chain;
+        # exporter and importer must traverse it (torch_compat recursion).
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            _adam_state,
+            generator_optimizer_from_torch_state_dict,
+            generator_optimizer_to_torch_state_dict,
+        )
+
+        config = tiny_config(grad_clip=0.5)
+        bundle, gs, _, _ = build_bundle(config)
+        gs, _ = bundle.pretrain_step(gs, jnp.asarray(synthetic_batch(rng)))
+        host_state = jax.device_get(gs.opt_state)
+        sd = generator_optimizer_to_torch_state_dict(
+            host_state, n_layers=config.generator.n_layers, lr=1e-4, n_up=2
+        )
+        restored = generator_optimizer_from_torch_state_dict(
+            sd, host_state, n_layers=config.generator.n_layers, n_up=2
+        )
+        a, b = _adam_state(host_state), _adam_state(restored)
+        assert int(a.count) == int(b.count) == 1
+        for x, y in zip(jax.tree.leaves(a.mu), jax.tree.leaves(b.mu)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
