@@ -38,8 +38,15 @@ multihost:
 
 # Reliability drill on the attached device: thousands of steps, SIGINT
 # mid-GAN, resume, curve-continuity verdict (runs/<name>/SOAK_REPORT.json).
+# Drills the full training feature set (EMA + augmentation + LR schedule)
+# so the kill/resume covers their state too; the defaults-only recipe is
+# `python scripts/soak.py`.
 soak:
-	python scripts/soak.py
+	python scripts/soak.py \
+	  --extra training.ema_decay=0.999 \
+	  --extra training.augment=true \
+	  --extra training.lr_schedule=step \
+	  --extra 'training.lr_decay_steps=[2500]'
 
 bench-4k:
 	python scripts/bench_4k.py

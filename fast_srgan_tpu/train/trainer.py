@@ -154,6 +154,13 @@ class Trainer:
         return tree
 
     def _load_state_tree(self, tree: Dict[str, Any], step: int) -> None:
+        if self._ema and "g_ema" not in tree:
+            raise ValueError(
+                "training.ema_decay > 0 but the checkpoint being resumed "
+                "has no EMA tree (it was written with ema_decay=0). Resume "
+                "with the original setting, or start a fresh run dir to "
+                "train with EMA."
+            )
         self.g_state = self.g_state.replace(
             params=tree["g_params"], opt_state=tree["g_opt"], step=step,
             ema_params=tree["g_ema"] if self._ema else None,

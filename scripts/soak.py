@@ -90,6 +90,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--min-gain", type=float, default=3.0,
                     help="required PSNR improvement (dB) start->final")
+    ap.add_argument("--extra", action="append", default=[],
+                    help="extra key=value train.py overrides, repeatable "
+                         "(e.g. --extra training.ema_decay=0.999 to drill "
+                         "EMA-state resume)")
     args = ap.parse_args()
 
     # --- 1. procedural dataset ---
@@ -120,7 +124,7 @@ def main() -> None:
         f"training.log_iter={args.log_iter}",
         f"training.checkpoint_iter={args.ckpt_iter}",
         f"training.batch_size={args.batch}",
-    ]
+    ] + list(args.extra)
     kill_after_step = max(1, int(args.gan * args.kill_frac))
 
     # --- 2. first launch, SIGINT once the GAN phase passes kill_after_step ---
@@ -213,11 +217,17 @@ def main() -> None:
         problems.append(
             f"GAN phase incomplete: last logged step {max(all_adv_steps)}"
         )
-    gap = min(
-        (s for s in all_adv_steps if s > snap_step), default=10**9
-    ) - snap_step
-    if gap > args.log_iter:
-        problems.append(f"resume gap after snapshot: {gap} steps unlogged")
+    if snap_step < args.gan:
+        # (when SIGINT lands only at the very end of the phase — possible
+        # with tiny functional-check step counts — there is nothing after
+        # the snapshot to measure a gap against)
+        gap = min(
+            (s for s in all_adv_steps if s > snap_step), default=10**9
+        ) - snap_step
+        if gap > args.log_iter:
+            problems.append(
+                f"resume gap after snapshot: {gap} steps unlogged"
+            )
 
     psnr = sorted(by_tag.get("GAN/PSNR", []))
     pre_psnr = sorted(by_tag.get("Pretrain/PSNR", []))

@@ -60,6 +60,7 @@ SLOW_NODE_PATTERNS = (
     "test_train_steps.py::TestLrSchedule",
     "test_train_steps.py::TestGradClip",
     "test_augment.py::TestAugmentSteps",
+    "test_augment.py::TestAugmentMesh",
     "test_scale_factors.py::TestScaleFactors::test_2x_train_step",
     "test_vgg_parity.py::TestVGGParity::test_gan_step_uses_vgg_weights_file",
     "test_models.py::TestDiscriminator::test_param_count_golden",

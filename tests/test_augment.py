@@ -114,3 +114,31 @@ class TestAugmentSteps:
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=1e-5
             )
+
+
+class TestAugmentMesh:
+    def test_augment_on_8_device_mesh_matches_single_device(self):
+        """Coins are drawn over the GLOBAL batch shape inside jit, so the
+        augmented step is partition-invariant (same threefry bits)."""
+        from fast_srgan_tpu.parallel.mesh import make_mesh, shard_batch
+
+        config = tiny_config(augment=True)
+        batch_np = synthetic_batch(np.random.default_rng(55), batch=8)
+        key = jax.random.key(21)
+
+        bundle1, g1, d1, v1 = build_bundle(config)
+        g1, _, m1 = bundle1.gan_step(g1, d1, v1, jnp.asarray(batch_np), key)
+
+        mesh = make_mesh(8)
+        bundle8, g8, d8, v8 = build_bundle(config, mesh=mesh)
+        g8, _, m8 = bundle8.gan_step(
+            g8, d8, v8, shard_batch(batch_np, mesh), key
+        )
+
+        np.testing.assert_allclose(
+            float(m1["g_loss"]), float(m8["g_loss"]), rtol=2e-5
+        )
+        for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g8.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
