@@ -287,6 +287,10 @@ class Trainer:
                     self.writer.scalar(
                         "Pretrain/Generator/Loss", float(loss), step
                     )
+                    if self.config.training.get("lr_schedule"):
+                        self.writer.scalar(
+                            "Pretrain/LR", self._current_lrs()[0], step
+                        )
                 if step % ckpt_iter == 0:
                     self._log_generated("Pretrain/Generated", step)
                     self.validate(val_sampler, "Pretrain", step)
@@ -387,6 +391,10 @@ class Trainer:
                 self.writer.scalar(
                     "Loss/Generator/Content", float(metrics["content_loss"]), step
                 )
+                if self.config.training.get("lr_schedule"):
+                    g_lr, d_lr = self._current_lrs()
+                    self.writer.scalar("LR/Generator", g_lr, step)
+                    self.writer.scalar("LR/Discriminator", d_lr, step)
             if step % ckpt_iter == 0:
                 self._log_generated("GAN/Generated", step)
                 self.validate(val_sampler, "GAN", step=step)
@@ -494,6 +502,28 @@ class Trainer:
                 ),
                 f"discriminator_optim_epoch_{step}.pt",
             )
+
+    def _current_lrs(self) -> tuple:
+        """(generator_lr, discriminator_lr) in effect right now — logged
+        under LR/* when training.lr_schedule is active (an addition to the
+        reference tag schema; absent otherwise, keeping the default output
+        schema-identical)."""
+        cfg = self.config.training
+        scale = (
+            self.mesh.size
+            if self.mesh is not None and self.config.parallel.scale_lr
+            else 1
+        )
+        g = self._effective_lr(
+            cfg.generator_lr * scale,
+            cfg.pretrain_iterations + cfg.iterations,
+            self.g_state.opt_state,
+        )
+        d = self._effective_lr(
+            cfg.discriminator_lr * scale, cfg.iterations,
+            self.d_state.opt_state,
+        )
+        return g, d
 
     def _effective_lr(self, base: float, horizon: int, opt_state) -> float:
         """The lr in effect at the current optimizer count (= base when

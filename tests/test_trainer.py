@@ -271,3 +271,57 @@ class TestEmaTrainer:
         ):
             np.testing.assert_array_equal(a, np.asarray(x))
         trainer2.close()
+
+
+class TestLrLogging:
+    def test_lr_tags_logged_only_with_schedule(
+        self, npy_dir, tmp_path, monkeypatch
+    ):
+        import json
+
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="lrlog")
+        config.training.lr_schedule = "step"
+        config.training.lr_decay_steps = [3]
+        config.training.lr_decay_factor = 0.5
+        config.training.iterations = 4
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+        trainer = Trainer(config)
+        trainer.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer.train(PrefetchLoader(sampler, 2, 4, workers=1), sampler)
+        trainer.close()
+
+        rows = [
+            json.loads(l)
+            for l in (tmp_path / "runs" / "lrlog" / "metrics.jsonl")
+            .read_text().splitlines() if l
+        ]
+        g_lr = {r["step"]: r["value"] for r in rows if r["tag"] == "LR/Generator"}
+        assert g_lr, "LR/Generator not logged under lr_schedule"
+        # G count spans pretrain (2 steps) + GAN: the [3]-milestone halves
+        # the G lr from GAN step 2 onward (count 2+1=3 at GAN step 1's
+        # update... assert monotone non-increasing and that a decay happened)
+        vals = [g_lr[k] for k in sorted(g_lr)]
+        assert all(b <= a for a, b in zip(vals, vals[1:]))
+        # the G count spans pretrain (2 steps) + GAN, so the [3]-milestone
+        # has fired by the first GAN log: every logged G lr is halved
+        base = config.training.generator_lr
+        assert vals[-1] == pytest.approx(base * 0.5, rel=1e-5)
+        # ...while the pretrain logs (counts 0..1) still show the base lr
+        pre = [r["value"] for r in rows if r["tag"] == "Pretrain/LR"]
+        assert pre and pre[0] == pytest.approx(base, rel=1e-5)
+        assert any(r["tag"] == "LR/Discriminator" for r in rows)
+
+        # without a schedule the tag schema stays reference-identical
+        # (own checkpoint dir: a scheduled run's opt-state layout differs,
+        # and toggling the schedule across a resume is not supported)
+        config2 = make_config(tmp_path, npy_dir, name="lrlog2")
+        config2.training.checkpoint_dir = str(tmp_path / "ckpt2")
+        trainer2 = Trainer(config2)
+        trainer2.pretrain(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer2.train(PrefetchLoader(sampler, 2, 2, workers=1), sampler)
+        trainer2.close()
+        log2 = (tmp_path / "runs" / "lrlog2" / "metrics.jsonl").read_text()
+        assert "LR/" not in log2
