@@ -421,6 +421,30 @@ def _replace_state_part(opt_state, old, new):
     return opt_state
 
 
+def _sync_counts(opt_state, count):
+    """Set every pure step counter in the chain (e.g. ScaleByScheduleState
+    from training.lr_schedule) to ``count``.
+
+    Torch AdamW keeps ONE step counter (per-param "step"); optax keeps one
+    per stateful transform. A torch warm-start that only restored the
+    ScaleByAdamState count would leave a schedule's own counter at 0 — the
+    decay would silently restart from the beginning while logs/exports
+    (which read the adam count) report the decayed value."""
+    import jax.numpy as jnp
+
+    if (
+        hasattr(opt_state, "_fields")
+        and "count" in opt_state._fields
+        and not hasattr(opt_state, "mu")
+    ):
+        return opt_state._replace(
+            count=jnp.asarray(count, opt_state.count.dtype)
+        )
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(_sync_counts(p, count) for p in opt_state)
+    return opt_state
+
+
 def _optimizer_to_torch(opt_state, params_to_sd, order, lr):
     adam = _adam_state(opt_state)
     count = float(adam.count)
@@ -467,7 +491,9 @@ def _optimizer_from_torch(sd, sd_to_params, order, like_opt_state):
         mu=jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), adam.mu, mu),
         nu=jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), adam.nu, nu),
     )
-    return _replace_state_part(like_opt_state, adam, new_adam)
+    return _sync_counts(
+        _replace_state_part(like_opt_state, adam, new_adam), count
+    )
 
 
 def generator_optimizer_to_torch_state_dict(

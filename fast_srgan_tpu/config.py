@@ -121,8 +121,10 @@ DEFAULTS: dict = {
         # LR schedule: null = constant (the reference), "step" = multiply
         # by lr_decay_factor at each lr_decay_steps milestone (ESRGAN
         # halving recipe), "cosine" = decay to lr_min_ratio*base over the
-        # phase horizon. Position rides in the checkpointed optimizer
-        # state, so resume continues the decay exactly.
+        # GAN phase. Positions count GAN-phase steps for BOTH optimizers
+        # (the G schedule shifts past its pretrain updates, which run at
+        # the base lr), and ride in the checkpointed optimizer state, so
+        # resume — and torch warm-start — continue the decay exactly.
         "lr_schedule": None,
         "lr_decay_steps": [],
         "lr_decay_factor": 0.5,

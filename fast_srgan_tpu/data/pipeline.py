@@ -302,13 +302,17 @@ def list_numpy_files(numpy_dir: str) -> List[str]:
 
 
 def resolve_val_numpy_dir(config) -> Optional[str]:
-    """The held-out-validation .npy cache dir, or None when data.val_image_dir
-    is unset (reference behavior: validate on the training images)."""
+    """The held-out-validation .npy cache dir, or None when neither val key
+    is set (reference behavior: validate on the training images).
+
+    ``val_numpy_dir`` alone is honored as a prebuilt cache (no image dir to
+    preprocess); ``val_image_dir`` alone derives the cache location."""
+    explicit = config.data.get("val_numpy_dir")
+    if explicit:
+        return explicit
     if not config.data.get("val_image_dir"):
         return None
-    return config.data.get("val_numpy_dir") or (
-        config.data.numpy_dir.rstrip("/") + "_val"
-    )
+    return config.data.numpy_dir.rstrip("/") + "_val"
 
 
 def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
@@ -317,7 +321,18 @@ def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
 
     With data.val_image_dir set, the val sampler reads the held-out cache
     (resolve_val_numpy_dir) instead of the training files — train.py
-    preprocesses that directory before calling here."""
+    preprocesses that directory before calling here.
+
+    The val sampler is deliberately NEVER file-sharded (``shard`` applies
+    only to the training loaders): every host walks the identical full val
+    list, so all hosts issue the same number of global eval-step calls —
+    per-host shards of uneven size would desynchronize the collectives
+    (deadlock), and an empty shard (more hosts than val files) would
+    crash. Each host feeding the same local slice evaluates every image
+    process_count times, which scales the masked sums in numerator and
+    denominator equally: the aggregate PSNR/SSIM means are exactly the
+    single-host values. Val passes are infrequent and the redundancy is
+    bounded by the (small) val set, so correctness wins over dedup."""
     paths = list_numpy_files(config.data.numpy_dir)
     sampler = CropSampler(
         paths,
@@ -326,23 +341,28 @@ def make_loaders(config, shard: Optional[Tuple[int, int]] = None):
         seed=config.experiment.seed,
         shard=shard,
     )
-    val_sampler = sampler
     val_dir = resolve_val_numpy_dir(config)
     if val_dir:
         val_paths = list_numpy_files(val_dir)
         if not val_paths:
             raise ValueError(
-                f"data.val_image_dir is set but the val cache {val_dir!r} "
-                "has no .npy files (expected train.py to have preprocessed "
-                "data.val_image_dir into it)"
+                f"held-out validation is configured but the val cache "
+                f"{val_dir!r} has no .npy files (with data.val_image_dir, "
+                "train.py preprocesses into it; a bare data.val_numpy_dir "
+                "must point at an existing prebuilt cache)"
             )
-        val_sampler = CropSampler(
+    else:
+        val_paths = paths
+    val_sampler = (
+        sampler
+        if shard is None and val_paths is paths
+        else CropSampler(
             val_paths,
             config.data.lr_image_size,
             config.data.scale_factor,
             seed=config.experiment.seed,
-            shard=shard,
         )
+    )
     batch = config.training.batch_size
     # Honor the configured count (the reference default is 16 threads,
     # train.py:84 there); floor at 1, cap at 64 as a footgun guard only.

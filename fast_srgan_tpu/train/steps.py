@@ -82,19 +82,23 @@ def make_optimizer(
     return adamw
 
 
-def make_lr_schedule(config, base_lr: float, horizon: int):
+def make_lr_schedule(
+    config, base_lr: float, gan_steps: int, pretrain_offset: int = 0
+):
     """Resolve training.lr_schedule to a float or an optax schedule.
 
     The reference trains at constant LR for the whole run (trainer.py:33-38
     + configs/config.yaml:24-25); ``lr_schedule: null`` preserves that.
-    Opt-ins (standard SRGAN-family recipes):
+    Opt-ins (standard SRGAN-family recipes), both positioned in
+    **GAN-phase optimizer steps** for BOTH optimizers — the generator's
+    schedule is shifted past its pretrain updates (``pretrain_offset``,
+    constant base LR there), so G and D decay at the same training points:
 
       * ``"step"``  — multiply LR by training.lr_decay_factor at each
-        optimizer-step milestone in training.lr_decay_steps (the ESRGAN
-        halving recipe).
+        GAN-step milestone in training.lr_decay_steps (the ESRGAN halving
+        recipe).
       * ``"cosine"`` — cosine decay from base_lr to
-        base_lr * training.lr_min_ratio over ``horizon`` optimizer steps
-        (G: pretrain + GAN iterations; D: GAN iterations).
+        base_lr * training.lr_min_ratio over the GAN phase.
 
     The schedule position is the optax update count inside the optimizer
     state, which is checkpointed — resume continues the decay exactly.
@@ -103,20 +107,27 @@ def make_lr_schedule(config, base_lr: float, horizon: int):
     if not sched:
         return base_lr
     if sched == "cosine":
-        return optax.cosine_decay_schedule(
+        inner = optax.cosine_decay_schedule(
             base_lr,
-            max(1, int(horizon)),
+            max(1, int(gan_steps)),
             alpha=float(config.training.get("lr_min_ratio", 0.1)),
         )
-    if sched == "step":
+    elif sched == "step":
         steps = config.training.get("lr_decay_steps") or []
         factor = float(config.training.get("lr_decay_factor", 0.5))
-        return optax.piecewise_constant_schedule(
+        inner = optax.piecewise_constant_schedule(
             base_lr, {int(s): factor for s in steps}
         )
-    raise ValueError(
-        f"unknown training.lr_schedule {sched!r} (null, 'step', 'cosine')"
-    )
+    else:
+        raise ValueError(
+            f"unknown training.lr_schedule {sched!r} (null, 'step', 'cosine')"
+        )
+    if pretrain_offset:
+        return optax.join_schedules(
+            [optax.constant_schedule(base_lr), inner],
+            [int(pretrain_offset)],
+        )
+    return inner
 
 
 class GanBundle(NamedTuple):
@@ -234,8 +245,8 @@ def build_bundle(
         g_lr *= mesh.size
         d_lr *= mesh.size
     g_lr = make_lr_schedule(
-        config, g_lr,
-        config.training.pretrain_iterations + config.training.iterations,
+        config, g_lr, config.training.iterations,
+        pretrain_offset=config.training.pretrain_iterations,
     )
     d_lr = make_lr_schedule(config, d_lr, config.training.iterations)
     ema_decay = float(config.training.get("ema_decay", 0.0) or 0.0)

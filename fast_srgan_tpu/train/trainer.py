@@ -153,6 +153,26 @@ class Trainer:
             tree["g_ema"] = self.g_state.ema_params
         return tree
 
+    def _restore(self, io, step: int) -> Dict[str, Any]:
+        """Restore a state tree, translating the orbax structure-mismatch
+        raised when training.ema_decay / lr_schedule / grad_clip changed
+        between the checkpointed run and this one (the `like` tree those
+        knobs shape no longer matches what is on disk)."""
+        try:
+            return io.restore(step, like=self._state_tree())
+        except Exception as e:
+            msg = str(e)
+            if "g_ema" in msg or "_opt" in msg:
+                raise ValueError(
+                    "checkpoint structure mismatch on resume: the run that "
+                    "wrote this checkpoint used different "
+                    "training.ema_decay / lr_schedule / grad_clip settings "
+                    "(these shape the checkpointed state tree). Resume with "
+                    "the original settings, or start a fresh run dir "
+                    f"(checkpoint step {step}). Original error: {e}"
+                ) from e
+            raise
+
     def _load_state_tree(self, tree: Dict[str, Any], step: int) -> None:
         if self._ema and "g_ema" not in tree:
             raise ValueError(
@@ -254,14 +274,14 @@ class Trainer:
     def pretrain(self, loader: PrefetchLoader, val_sampler: CropSampler) -> None:
         if self.config.training.resume and self.pretrain_ckpt.has_step(PRETRAIN_STEP):
             print("Pretrained checkpoint found, skipping pretraining")
-            tree = self.pretrain_ckpt.restore(PRETRAIN_STEP, like=self._state_tree())
+            tree = self._restore(self.pretrain_ckpt, PRETRAIN_STEP)
             self._load_state_tree(tree, step=0)
             return
         start_step = 0
         latest = self.pretrain_progress.latest_step()
         if self.config.training.resume and latest is not None:
             print(f"Resuming pretrain from step {latest}")
-            tree = self.pretrain_progress.restore(latest, like=self._state_tree())
+            tree = self._restore(self.pretrain_progress, latest)
             self._load_state_tree(tree, step=latest)
             start_step = latest
         self._pretrain_step = start_step
@@ -320,7 +340,7 @@ class Trainer:
         latest = self.ckpt.latest_step()
         if self.config.training.resume and latest is not None:
             print(f"Resuming GAN phase from step {latest}")
-            tree = self.ckpt.restore(latest, like=self._state_tree())
+            tree = self._restore(self.ckpt, latest)
             self._load_state_tree(tree, step=latest)
             start_step = latest
         self._gan_step = start_step
@@ -480,13 +500,12 @@ class Trainer:
                 else 1
             )
             cfg_t = self.config.training
-            g_horizon = cfg_t.pretrain_iterations + cfg_t.iterations
             dump(
                 generator_optimizer_to_torch_state_dict(
                     jax.device_get(self.g_state.opt_state), n_layers=n_layers,
                     lr=self._effective_lr(
-                        cfg_t.generator_lr * lr_scale, g_horizon,
-                        self.g_state.opt_state,
+                        cfg_t.generator_lr * lr_scale, self.g_state.opt_state,
+                        pretrain_offset=cfg_t.pretrain_iterations,
                     ),
                     n_up=self._n_up(),
                 ),
@@ -496,7 +515,7 @@ class Trainer:
                 discriminator_optimizer_to_torch_state_dict(
                     jax.device_get(self.d_state.opt_state),
                     lr=self._effective_lr(
-                        cfg_t.discriminator_lr * lr_scale, cfg_t.iterations,
+                        cfg_t.discriminator_lr * lr_scale,
                         self.d_state.opt_state,
                     ),
                 ),
@@ -504,10 +523,10 @@ class Trainer:
             )
 
     def _current_lrs(self) -> tuple:
-        """(generator_lr, discriminator_lr) in effect right now — logged
-        under LR/* when training.lr_schedule is active (an addition to the
-        reference tag schema; absent otherwise, keeping the default output
-        schema-identical)."""
+        """(generator_lr, discriminator_lr) for the NEXT optimizer update —
+        logged under LR/* when training.lr_schedule is active (an addition
+        to the reference tag schema; absent otherwise, keeping the default
+        output schema-identical)."""
         cfg = self.config.training
         scale = (
             self.mesh.size
@@ -515,20 +534,27 @@ class Trainer:
             else 1
         )
         g = self._effective_lr(
-            cfg.generator_lr * scale,
-            cfg.pretrain_iterations + cfg.iterations,
-            self.g_state.opt_state,
+            cfg.generator_lr * scale, self.g_state.opt_state,
+            pretrain_offset=cfg.pretrain_iterations,
         )
         d = self._effective_lr(
-            cfg.discriminator_lr * scale, cfg.iterations,
-            self.d_state.opt_state,
+            cfg.discriminator_lr * scale, self.d_state.opt_state
         )
         return g, d
 
-    def _effective_lr(self, base: float, horizon: int, opt_state) -> float:
-        """The lr in effect at the current optimizer count (= base when
-        training.lr_schedule is null)."""
-        lr = make_lr_schedule(self.config, base, horizon)
+    def _effective_lr(
+        self, base: float, opt_state, pretrain_offset: int = 0
+    ) -> float:
+        """schedule(count) at the current optimizer count (= base when
+        training.lr_schedule is null). ``count`` is the number of updates
+        taken, so this is the lr the NEXT update will use — exactly what a
+        resumed optimizer (torch or optax) applies first, which is the
+        right value to export; at a step-schedule milestone it is one
+        update ahead of the value the just-completed step used."""
+        lr = make_lr_schedule(
+            self.config, base, self.config.training.iterations,
+            pretrain_offset=pretrain_offset,
+        )
         if callable(lr):
             from fast_srgan_tpu.checkpoints.torch_compat import _adam_state
 

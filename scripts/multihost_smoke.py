@@ -20,6 +20,15 @@ single-process mesh tests:
   * Real sharded train steps: 1 pretrain + 3 full GAN steps (fp32,
     pixel-anchor content loss) through the same jitted programs train.py
     uses, run in SPMD lockstep across both processes.
+  * A full masked validation pass (the Trainer.validate protocol) over an
+    ODD-sized val set: every host walks the identical full val list (val
+    samplers are never file-sharded — see data/pipeline.py make_loaders),
+    so both processes issue the same number of global eval_step calls,
+    padded tail included. Per-host shards of uneven size would
+    desynchronize these collectives and deadlock; this pass is the live
+    2-process proof of the sync contract, and of the metric math: the
+    duplicated evaluation (each image counted once per host) must yield
+    the exact single-process PSNR/SSIM with 2x the image count.
 
 Loss equality: a third, single-process run consumes the identical global
 batch on a 1-device mesh; per-step losses must match the 2-process run to
@@ -51,6 +60,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_FILES = 8
+N_VAL_FILES = 5  # odd on purpose: forces a padded, masked tail batch
 LR_SIZE = 8
 SCALE = 4
 HR_SIZE = LR_SIZE * SCALE
@@ -66,8 +76,9 @@ def _global_batch(n: int) -> np.ndarray:
     )
 
 
-def _run_steps(mesh, local_batch: np.ndarray) -> dict:
-    """1 pretrain + STEPS gan steps; returns {step: {metric: float}}."""
+def _run_steps(mesh, local_batch: np.ndarray, val_dir: str, local_bs: int) -> dict:
+    """1 pretrain + STEPS gan steps + a masked val pass; returns
+    {step: {metric: float}, "eval": {...}}."""
     import jax
 
     from fast_srgan_tpu.config import default_config
@@ -93,7 +104,44 @@ def _run_steps(mesh, local_batch: np.ndarray) -> dict:
             g_state, d_state, vgg_params, sharded, jax.random.fold_in(key, step)
         )
         out[f"gan{step}"] = {k: float(v) for k, v in metrics.items()}
+    out["eval"] = _run_eval(mesh, bundle, g_state.params, val_dir, local_bs)
     return out
+
+
+def _run_eval(mesh, bundle, g_params, val_dir: str, local_bs: int) -> dict:
+    """Trainer.validate's protocol: full pass over the val files, tail batch
+    padded + masked on device, masked SSE/SSIM sums psum'd to replicated
+    scalars. Every process walks the SAME full file list, so all hosts make
+    the same number of global eval_step calls (the sync contract)."""
+    from fast_srgan_tpu.data.pipeline import CropSampler, list_numpy_files
+    from fast_srgan_tpu.metrics.psnr_ssim import psnr_from_accumulator
+    from fast_srgan_tpu.parallel.mesh import shard_batch
+
+    val = CropSampler(
+        list_numpy_files(val_dir), LR_SIZE, SCALE, seed=SEED, backend="numpy"
+    )
+    sse = n = ssim_sum = images = 0.0
+    per_image_n = float(HR_SIZE * HR_SIZE * 3)
+    for batch in val.sequential_batches(local_bs, seed=SEED, drop_last=False):
+        valid = batch.shape[0]
+        mask = np.ones(local_bs, np.float32)
+        if valid < local_bs:
+            batch = np.concatenate(
+                [batch, batch[-1:].repeat(local_bs - valid, 0)]
+            )
+            mask[valid:] = 0.0
+        b_sse, b_ssim, b_cnt = bundle.eval_step(
+            g_params, shard_batch(batch, mesh), shard_batch(mask, mesh)
+        )
+        sse += float(b_sse)
+        ssim_sum += float(b_ssim)
+        images += float(b_cnt)
+        n += per_image_n * float(b_cnt)
+    return {
+        "psnr": psnr_from_accumulator(sse, n),
+        "ssim": ssim_sum / max(images, 1.0),
+        "images": images,
+    }
 
 
 def worker(args) -> None:
@@ -126,7 +174,7 @@ def worker(args) -> None:
     local = args.global_batch // args.nprocs
     lo = jax.process_index() * local
     local_batch = _global_batch(args.global_batch)[lo:lo + local]
-    losses = _run_steps(mesh, local_batch)
+    losses = _run_steps(mesh, local_batch, args.val_data, local)
 
     print("WORKER_JSON " + json.dumps({
         "proc": jax.process_index(),
@@ -147,7 +195,10 @@ def single(args) -> None:
 
     from fast_srgan_tpu.parallel.mesh import make_mesh
 
-    losses = _run_steps(make_mesh(1), _global_batch(args.global_batch))
+    losses = _run_steps(
+        make_mesh(1), _global_batch(args.global_batch), args.val_data,
+        args.global_batch,
+    )
     print("SINGLE_JSON " + json.dumps({"losses": losses}))
 
 
@@ -159,6 +210,13 @@ def parent(args) -> None:
         for i in range(N_FILES):
             np.save(
                 os.path.join(data_dir, f"img_{i:02d}.npy"),
+                rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
+            )
+        val_dir = os.path.join(data_dir, "val")
+        os.makedirs(val_dir)
+        for i in range(N_VAL_FILES):
+            np.save(
+                os.path.join(val_dir, f"val_{i:02d}.npy"),
                 rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
             )
 
@@ -179,6 +237,7 @@ def parent(args) -> None:
                 spawn([
                     "--worker", str(i), "--nprocs", "2",
                     "--port", str(port), "--data", data_dir,
+                    "--val-data", val_dir,
                     "--global-batch", str(global_batch),
                 ])
                 for i in range(2)
@@ -187,7 +246,8 @@ def parent(args) -> None:
             single_env.pop("XLA_FLAGS", None)  # reference run: one device
             single_proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
-                 "--single", "--global-batch", str(global_batch)],
+                 "--single", "--global-batch", str(global_batch),
+                 "--val-data", val_dir],
                 env=single_env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
@@ -242,9 +302,14 @@ def parent(args) -> None:
     shard0, shard1 = (set(r["shard_paths"]) for r in reports)
     assert shard0.isdisjoint(shard1), (shard0, shard1)
     assert len(shard0 | shard1) == N_FILES, (shard0, shard1)
-    # both processes computed identical (replicated) losses
+    # both processes computed identical (replicated) losses + eval scalars
     assert reports[0]["losses"] == reports[1]["losses"], reports
-    # ... equal to the single-process run over the same global batch
+    # ... equal to the single-process run over the same global batch.
+    # "eval" compares separately: both processes walked the FULL val list,
+    # so every image was evaluated once per host — the psum'd masked sums
+    # scale symmetrically (images 2x) and the means are exact.
+    ref_eval = ref.pop("eval")
+    got_eval = dict(reports[0]["losses"]["eval"])
     worst = 0.0
     for step, metrics in ref.items():
         for k, v in metrics.items():
@@ -252,10 +317,18 @@ def parent(args) -> None:
             err = abs(got - v) / max(abs(v), 1e-8)
             worst = max(worst, err)
             assert err < 1e-4, (step, k, got, v)
+    assert got_eval["images"] == 2 * ref_eval["images"], (got_eval, ref_eval)
+    for k in ("psnr", "ssim"):
+        err = abs(got_eval[k] - ref_eval[k]) / max(abs(ref_eval[k]), 1e-8)
+        worst = max(worst, err)
+        assert err < 1e-4, (k, got_eval[k], ref_eval[k])
 
     print(f"2-process x {dph}-device run (global batch {global_batch}): "
           f"losses over {1 + STEPS} steps match single-process "
           f"(worst rel err {worst:.2e})")
+    print(f"val pass ({N_VAL_FILES} files, padded tail): both hosts in "
+          f"lockstep, PSNR {got_eval['psnr']:.2f} == single-process, "
+          f"{int(got_eval['images'])} image-evals (2x {int(ref_eval['images'])})")
     print("shards:", sorted(shard0), "|", sorted(shard1))
     print("MULTIHOST SMOKE OK")
 
@@ -266,6 +339,7 @@ def main() -> None:
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--data", default=None)
+    ap.add_argument("--val-data", default=None)
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--global-batch", type=int, default=4)
     ap.add_argument("--devices-per-host", type=int, default=1)

@@ -271,3 +271,62 @@ class TestValSplit:
         )
         with pytest.raises(ValueError, match="no .npy files"):
             make_loaders(cfg)
+
+
+class TestValSamplerSharding:
+    """Multi-host: the val sampler must never be file-sharded (uneven
+    shards would desynchronize the global eval collectives)."""
+
+    def test_sharded_loaders_keep_val_unsharded(self, dataset):
+        from fast_srgan_tpu.data.pipeline import make_loaders
+
+        _, npy_dir = dataset  # 5 files: uneven over 2 hosts (3/2)
+        cfg = TestValSplit()._config(npy_dir)
+        vals = []
+        for index in (0, 1):
+            val, pre, tr = make_loaders(cfg, shard=(index, 2))
+            assert len(pre.sampler) in (2, 3)  # train side IS sharded
+            assert len(val) == 5, "val sampler must see the full list"
+            vals.append([os.path.basename(p) for p in val.paths])
+        # identical lists on every host -> identical eval loop counts
+        assert vals[0] == vals[1]
+
+    def test_sharded_loaders_with_val_dir_keep_val_unsharded(
+        self, dataset, tmp_path
+    ):
+        from fast_srgan_tpu.data.pipeline import make_loaders
+
+        _, npy_dir = dataset
+        val_np = str(tmp_path / "vnp")
+        os.makedirs(val_np)
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            np.save(
+                os.path.join(val_np, f"v{i}.npy"),
+                rng.integers(0, 256, (48, 48, 3), dtype=np.uint8),
+            )
+        cfg = TestValSplit()._config(npy_dir, val_numpy_dir=val_np)
+        for index in (0, 1):
+            val, _, _ = make_loaders(cfg, shard=(index, 2))
+            assert len(val) == 3
+
+    def test_prebuilt_val_cache_without_image_dir(self, dataset, tmp_path):
+        # data.val_numpy_dir alone = a prebuilt cache; must NOT silently
+        # fall back to validating on the training files.
+        from fast_srgan_tpu.data.pipeline import (
+            make_loaders, resolve_val_numpy_dir,
+        )
+
+        _, npy_dir = dataset
+        val_np = str(tmp_path / "prebuilt")
+        os.makedirs(val_np)
+        np.save(
+            os.path.join(val_np, "only.npy"),
+            np.random.default_rng(2).integers(
+                0, 256, (48, 48, 3), dtype=np.uint8
+            ),
+        )
+        cfg = TestValSplit()._config(npy_dir, val_numpy_dir=val_np)
+        assert resolve_val_numpy_dir(cfg) == val_np
+        val, pre, _ = make_loaders(cfg)
+        assert val is not pre.sampler and len(val) == 1

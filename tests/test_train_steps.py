@@ -387,9 +387,12 @@ class TestLrSchedule:
         # factor 0 at milestone 1: the 1st update applies, the 2nd is a
         # no-op (optax adamw scales weight decay by lr too) — an exact
         # signature of the milestone firing at the right count.
+        # pretrain_iterations=0: milestones count GAN-phase G updates (the
+        # schedule holds the base lr through pretrain), so zeroing the
+        # offset lets pretrain_step drive the schedule directly.
         bundle, gs, _, _ = build_bundle(
             tiny_config(lr_schedule="step", lr_decay_steps=[1],
-                        lr_decay_factor=0.0)
+                        lr_decay_factor=0.0, pretrain_iterations=0)
         )
         batch = jnp.asarray(synthetic_batch(rng))
         gs, _ = bundle.pretrain_step(gs, batch)
@@ -401,7 +404,11 @@ class TestLrSchedule:
     def test_cosine_differs_from_constant_but_still_trains(self, rng):
         batch = jnp.asarray(synthetic_batch(rng))
         leaves = []
-        for cfg in (tiny_config(lr_schedule="cosine"), tiny_config()):
+        for cfg in (
+            tiny_config(lr_schedule="cosine", pretrain_iterations=0,
+                        iterations=3),
+            tiny_config(pretrain_iterations=0, iterations=3),
+        ):
             bundle, gs, _, _ = build_bundle(cfg)
             for _ in range(3):
                 gs, loss = bundle.pretrain_step(gs, batch)
@@ -475,3 +482,73 @@ class TestGradClip:
         assert int(a.count) == int(b.count) == 1
         for x, y in zip(jax.tree.leaves(a.mu), jax.tree.leaves(b.mu)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def _schedule_counts(opt_state):
+    """All pure step counters (schedule states) in a chain state."""
+    out = []
+
+    def walk(part):
+        if (
+            hasattr(part, "_fields") and "count" in part._fields
+            and not hasattr(part, "mu")
+        ):
+            out.append(int(part.count))
+        elif isinstance(part, tuple) and not hasattr(part, "_fields"):
+            for p in part:
+                walk(p)
+
+    walk(opt_state)
+    return out
+
+
+class TestScheduleWarmStart:
+    def test_torch_roundtrip_restores_schedule_position(self, rng):
+        # A torch warm-start must not silently restart the decay: every
+        # schedule counter in the chain is synced to the torch step count.
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            generator_optimizer_from_torch_state_dict,
+            generator_optimizer_to_torch_state_dict,
+        )
+
+        config = tiny_config(lr_schedule="cosine")
+        bundle, gs, _, _ = build_bundle(config)
+        batch = jnp.asarray(synthetic_batch(rng))
+        for _ in range(3):
+            gs, _ = bundle.pretrain_step(gs, batch)
+        host = jax.device_get(gs.opt_state)
+        assert _schedule_counts(host) and all(
+            c == 3 for c in _schedule_counts(host)
+        )
+        sd = generator_optimizer_to_torch_state_dict(
+            host, n_layers=config.generator.n_layers, lr=1e-4, n_up=2
+        )
+        # import into a FRESH (count-0) like state, as a warm start would
+        _, fresh_gs, _, _ = build_bundle(config)
+        restored = generator_optimizer_from_torch_state_dict(
+            sd, jax.device_get(fresh_gs.opt_state),
+            n_layers=config.generator.n_layers, n_up=2,
+        )
+        assert all(c == 3 for c in _schedule_counts(restored)), (
+            _schedule_counts(restored)
+        )
+
+
+class TestScheduleAlignment:
+    def test_g_and_d_decay_at_the_same_gan_step(self):
+        # G's optimizer count includes pretrain updates; the schedule must
+        # shift past them so both nets hit milestones at the same GAN step.
+        from fast_srgan_tpu.train.steps import make_lr_schedule
+
+        cfg = tiny_config(
+            lr_schedule="step", lr_decay_steps=[5], lr_decay_factor=0.5,
+        )
+        g = make_lr_schedule(cfg, 1e-4, 20, pretrain_offset=7)
+        d = make_lr_schedule(cfg, 1e-4, 20)
+        for count in range(7):  # pretrain G updates run at the base lr
+            assert float(g(count)) == pytest.approx(1e-4)
+        for gan_count in (0, 4, 5, 6, 19):
+            assert float(g(7 + gan_count)) == pytest.approx(
+                float(d(gan_count))
+            )
+        assert float(d(5)) == pytest.approx(5e-5)

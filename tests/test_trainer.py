@@ -305,9 +305,11 @@ class TestLrLogging:
         # update... assert monotone non-increasing and that a decay happened)
         vals = [g_lr[k] for k in sorted(g_lr)]
         assert all(b <= a for a, b in zip(vals, vals[1:]))
-        # the G count spans pretrain (2 steps) + GAN, so the [3]-milestone
-        # has fired by the first GAN log: every logged G lr is halved
+        # milestones count GAN-phase steps for BOTH nets (the G schedule
+        # shifts past its pretrain updates): the [3]-milestone halves the
+        # logged lr from GAN step 3 on
         base = config.training.generator_lr
+        assert vals[0] == pytest.approx(base, rel=1e-5)
         assert vals[-1] == pytest.approx(base * 0.5, rel=1e-5)
         # ...while the pretrain logs (counts 0..1) still show the base lr
         pre = [r["value"] for r in rows if r["tag"] == "Pretrain/LR"]

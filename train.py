@@ -75,7 +75,8 @@ def main(argv=None) -> None:
         workers=config.training.num_workers,
     )
     val_numpy_dir = resolve_val_numpy_dir(config)
-    if val_numpy_dir:
+    if val_numpy_dir and config.data.get("val_image_dir"):
+        # (val_numpy_dir alone means a prebuilt cache — nothing to build)
         ensure_numpy_cache(
             config.data.val_image_dir,
             val_numpy_dir,
