@@ -61,6 +61,7 @@ SLOW_NODE_PATTERNS = (
     "test_train_steps.py::TestGradClip",
     "test_trainer.py::TestLrLogging",
     "test_train_steps.py::TestScheduleWarmStart",
+    "test_export.py",
     "test_augment.py::TestAugmentSteps",
     "test_augment.py::TestAugmentMesh",
     "test_scale_factors.py::TestScaleFactors::test_2x_train_step",
