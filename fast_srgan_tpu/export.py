@@ -62,9 +62,11 @@ def build_forward_u8(
     params = jax.tree.map(jnp.asarray, params)
 
     def forward_u8(x_u8):
-        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        y = apply(params, x)
-        return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+        # Shared with SRInferenceEngine._forward_u8 — one definition of the
+        # serving normalization, so artifacts can't drift from live serving.
+        from fast_srgan_tpu.inference import sr_forward_u8
+
+        return sr_forward_u8(apply, params, x_u8)
 
     return forward_u8
 
@@ -93,19 +95,29 @@ def save_exported_dir(
     bf16: bool,
     lr_tail: bool,
 ) -> str:
-    """Write manifest.json + one .stablehlo blob per (shape, exported)."""
+    """Write manifest.json + one .stablehlo blob per (shape, exported).
+
+    Each manifest entry records the serialized blob's size in bytes.
+    Duplicate shapes are rejected: they would overwrite each other's blob
+    file and collapse silently on load (dict-key overwrite)."""
+    shapes = [s for s, _ in entries]
+    dupes = {s for s in shapes if shapes.count(s) > 1}
+    if dupes:
+        raise ValueError(f"duplicate export shapes (b, h, w): {sorted(dupes)}")
     os.makedirs(out_dir, exist_ok=True)
     table = []
     for (b, h, w), exp in entries:
         name = f"b{b}_{h}x{w}.stablehlo"
+        blob = exp.serialize()
         with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(exp.serialize())
+            f.write(blob)
         table.append(
             {
                 "file": name,
                 "batch": b,
                 "height": h,
                 "width": w,
+                "bytes": len(blob),
                 "platforms": list(exp.platforms),
             }
         )

@@ -39,6 +39,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def sr_forward_u8(apply, params, x_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC in -> uint8 NHWC SR out: THE serving normalization.
+
+    The single definition of the uint8 forward semantics (in: x/127.5 - 1,
+    out: (y+1)*127.5 clipped, cast — reference inference.py:50-56), shared
+    by the live engine (`SRInferenceEngine._forward_u8`) and the StableHLO
+    deployment export (`fast_srgan_tpu.export.build_forward_u8`) so the
+    two can never drift apart.
+    """
+    x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+    y = apply(params, x)
+    return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+
+
 def arch_from_params(params: Dict[str, Any]) -> Dict[str, int]:
     """Read the generator architecture off a param pytree.
 
@@ -164,11 +178,9 @@ class SRInferenceEngine:
 
         @functools.partial(jax.jit, **jit_kwargs)
         def _forward_u8(p, x_u8: jnp.ndarray) -> jnp.ndarray:
-            # uint8 NHWC -> [-1,1] float on device (reference inference.py:50)
-            x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-            y = self._apply(p, x)
-            # [-1,1] -> uint8 on device: 4x fewer bytes on the D2H transfer.
-            return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+            # uint8 normalization in, uint8 out on device (4x fewer D2H
+            # bytes); one shared definition with the deployment export.
+            return sr_forward_u8(self._apply, p, x_u8)
 
         self._forward_u8 = _forward_u8
 

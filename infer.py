@@ -39,6 +39,20 @@ DEFAULT_CHECKPOINTS = (
 )
 
 
+def resolve_default_checkpoint() -> str:
+    """First existing entry of DEFAULT_CHECKPOINTS, or SystemExit.
+
+    The one definition of the no-flag checkpoint search policy, shared by
+    every CLI that accepts an optional --checkpoint."""
+    ckpt = next((c for c in DEFAULT_CHECKPOINTS if os.path.exists(c)), None)
+    if ckpt is None:
+        raise SystemExit(
+            "No checkpoint found; pass --checkpoint (searched: "
+            + ", ".join(DEFAULT_CHECKPOINTS) + ")"
+        )
+    return ckpt
+
+
 def load_generator_params(path: str):
     """Load generator params from .npz (native) or .pt (reference format)."""
     if not os.path.exists(path):
@@ -94,12 +108,7 @@ def main(argv=None) -> None:
 
     ckpt = args.checkpoint
     if ckpt is None:
-        ckpt = next((c for c in DEFAULT_CHECKPOINTS if os.path.exists(c)), None)
-        if ckpt is None:
-            raise SystemExit(
-                "No checkpoint found; pass --checkpoint (searched: "
-                + ", ".join(DEFAULT_CHECKPOINTS) + ")"
-            )
+        ckpt = resolve_default_checkpoint()
 
     config = load_config(
         args.config, required=args.config != parser.get_default("config")

@@ -33,7 +33,7 @@ def main() -> None:
     from fast_srgan_tpu.config import load_config
     from fast_srgan_tpu.inference import SRInferenceEngine
     from fast_srgan_tpu.serving import make_server
-    from infer import DEFAULT_CHECKPOINTS, load_generator_params
+    from infer import load_generator_params, resolve_default_checkpoint
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--host", default="127.0.0.1")
@@ -62,12 +62,7 @@ def main() -> None:
 
     ckpt = args.checkpoint
     if ckpt is None:
-        ckpt = next((c for c in DEFAULT_CHECKPOINTS if os.path.exists(c)), None)
-        if ckpt is None:
-            raise SystemExit(
-                "No checkpoint found; pass --checkpoint (searched: "
-                + ", ".join(DEFAULT_CHECKPOINTS) + ")"
-            )
+        ckpt = resolve_default_checkpoint()
 
     config = load_config(  # kernel options only; arch comes from the ckpt
         args.config, required=args.config != parser.get_default("config")

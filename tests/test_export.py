@@ -73,3 +73,77 @@ class TestExportRoundtrip:
         call = load_exported_dir(out)["forwards"][(1, 8, 8)]
         with pytest.raises(Exception):
             call(np.zeros((1, 9, 8, 3), np.uint8))
+
+
+class TestExportDefaults:
+    """The script's default path: bf16 compute, multi-platform lowering."""
+
+    def test_bf16_multiplatform_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        model = Generator(n_filters=8, n_layers=2, dtype=jnp.bfloat16)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        fwd = build_forward_u8(
+            params, n_filters=8, n_layers=2, scale_factor=4, bf16=True
+        )
+        exp = export_shape(fwd, 1, 8, 8, platforms=("cpu", "tpu"))
+        assert set(exp.platforms) == {"cpu", "tpu"}
+        out = str(tmp_path / "bf16")
+        save_exported_dir(
+            out, [((1, 8, 8), exp)],
+            arch={"n_filters": 8, "n_layers": 2, "scale_factor": 4},
+            bf16=True, lr_tail=True,
+        )
+        loaded = load_exported_dir(out)
+        assert loaded["manifest"]["entries"][0]["bytes"] > 0
+        x = np.random.default_rng(3).integers(
+            0, 256, (1, 8, 8, 3), dtype=np.uint8
+        )
+        got = np.asarray(loaded["forwards"][(1, 8, 8)](x))
+        want = np.asarray(jax.jit(fwd)(x))
+        np.testing.assert_array_equal(got, want)
+
+    def test_duplicate_shapes_rejected(self, tiny_forward, tmp_path):
+        exp = export_shape(tiny_forward, 1, 8, 8)
+        with pytest.raises(ValueError, match="duplicate"):
+            save_exported_dir(
+                str(tmp_path / "dup"),
+                [((1, 8, 8), exp), ((1, 8, 8), exp)],
+                arch={"n_filters": 8, "n_layers": 2, "scale_factor": 4},
+                bf16=False, lr_tail=True,
+            )
+
+
+class TestEngineParity:
+    def test_exported_forward_matches_live_engine(self, tmp_path):
+        """The artifact and SRInferenceEngine share one normalization
+        definition (inference.sr_forward_u8); in fp32 the outputs are
+        bit-identical (no constant-folding reassociation)."""
+        import jax.numpy as jnp
+
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        model = Generator(n_filters=8, n_layers=2, dtype=jnp.float32)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        fwd = build_forward_u8(
+            params, n_filters=8, n_layers=2, scale_factor=4,
+            bf16=False, lr_tail=True,
+        )
+        exp = export_shape(fwd, 1, 12, 16)
+        out = str(tmp_path / "engine")
+        save_exported_dir(
+            out, [((1, 12, 16), exp)],
+            arch={"n_filters": 8, "n_layers": 2, "scale_factor": 4},
+            bf16=False, lr_tail=True,
+        )
+        call = load_exported_dir(out)["forwards"][(1, 12, 16)]
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=2, scale_factor=4,
+            dtype=jnp.float32, lr_tail=True,
+        )
+        x = np.random.default_rng(5).integers(
+            0, 256, (1, 12, 16, 3), dtype=np.uint8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(call(x)), engine.upscale_batch(x)
+        )
