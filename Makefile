@@ -52,11 +52,16 @@ bench-4k:
 	python scripts/bench_4k.py
 
 # A/B the GAN step formulations at the reference's full-loss operating
-# point (batch 96 + VGG): shared-forward (default) vs recompute.
+# point (batch 96 + VGG). Arms: recompute (the reference's two-forward
+# form), shared-forward (default), + the vgg_concat / remat_vgg
+# variants. 3 runs per arm (best-of-3 — single runs vary through the
+# tunnel; docs/DESIGN.md measurement protocol).
 train-ab:
-	for s in 1 0; do for i in 1 2 3; do \
-	  STEPS=150 BATCH=96 VGG=init SHARED=$$s \
-	  python scripts/train_throughput.py; done; done
+	for arm in "SHARED=0" "SHARED=1" "SHARED=1 VGG_CONCAT=1" \
+	           "SHARED=1 REMAT_VGG=1" "SHARED=1 VGG_CONCAT=1 REMAT_VGG=1"; do \
+	  for i in 1 2 3; do \
+	    env STEPS=150 BATCH=96 VGG=init $$arm python scripts/train_throughput.py; \
+	  done; done
 
 # Batched HTTP serving daemon (see serve.py --help).
 serve:

@@ -115,6 +115,10 @@ DEFAULTS: dict = {
         "gan_shared_forward": True,
         # rematerialize VGG activations in the GAN step backward
         "remat_vgg": False,
+        # one concatenated 2B-batch VGG forward for (sr, hr) instead of
+        # two B-batch calls (exact — VGG is batch-independent; A/B arm
+        # for the GAN+VGG step, see train/steps.py content_term)
+        "vgg_concat": False,
         # global-gradient-norm clipping before AdamW, both optimizers
         # (0 = off, the reference; a standard GAN-stability knob)
         "grad_clip": 0.0,

@@ -379,11 +379,30 @@ def build_bundle(
     # jax.checkpoint so its conv activations are recomputed during the
     # backward pass instead of living in HBM between forward and backward.
     remat_vgg = bool(config.training.get("remat_vgg", False))
+    # training.vgg_concat: run VGG(sr) and VGG(hr) as ONE concatenated
+    # forward (batch 2B). VGG is batch-independent (convs/relus/pools, no
+    # normalization), so splitting the output equals the two separate
+    # calls exactly (asserted in tests/test_train_steps.py); the fused
+    # form doubles each conv's batch — larger MXU tiles, half the kernel
+    # dispatches — at the cost of holding both activation sets at once.
+    # The hr half is wrapped in stop_gradient, so the backward pass only
+    # pulls cotangents through the sr half either way. A/B arm for the
+    # batch-96 GAN+VGG roofline gap (docs/DESIGN.md).
+    vgg_concat = bool(config.training.get("vgg_concat", False))
 
     def content_term(vgg_params, sr, hr_img):
         """0.5-weighted content loss term (reference trainer.py:190-192)."""
         if has_vgg:
             vapply = jax.checkpoint(vgg.apply) if remat_vgg else vgg.apply
+            if vgg_concat:
+                both = vapply(
+                    vgg_params,
+                    jnp.concatenate(
+                        [sr, jax.lax.stop_gradient(hr_img)], axis=0
+                    ),
+                )
+                f_sr, f_hr = jnp.split(both, 2, axis=0)
+                return smooth_l1_loss(f_sr, f_hr)
             return smooth_l1_loss(
                 vapply(vgg_params, sr), vapply(vgg_params, hr_img)
             )

@@ -38,12 +38,13 @@ def main() -> None:
     accum = int(os.environ.get("ACCUM", "1"))
     shared = os.environ.get("SHARED", "1") != "0"  # gan_shared_forward
     remat_vgg = os.environ.get("REMAT_VGG", "0") == "1"
+    vgg_concat = os.environ.get("VGG_CONCAT", "0") == "1"
 
     config = default_config(
         training={
             "bf16": True, "batch_size": batch, "vgg_weights": vgg,
             "grad_accum": accum, "gan_shared_forward": shared,
-            "remat_vgg": remat_vgg,
+            "remat_vgg": remat_vgg, "vgg_concat": vgg_concat,
         }
     )
     bundle, g_state, d_state, vgg_params = build_bundle(config)
@@ -83,6 +84,10 @@ def main() -> None:
         "batch": batch,
         "hr_crop": hr,
         "content_loss": "vgg" if vgg else "pixel",
+        "variant": {
+            "shared": shared, "remat_vgg": remat_vgg,
+            "vgg_concat": vgg_concat, "accum": accum,
+        },
         "pretrain_steps_per_s": round(1 / pre_dt, 2),
         "pretrain_crops_per_s": round(batch / pre_dt, 1),
         "gan_steps_per_s": round(1 / gan_dt, 2),

@@ -156,6 +156,35 @@ class TestGanStep:
             float(outs[1][1]["g_loss"]), rel=1e-6
         )
 
+    def test_vgg_concat_matches(self, rng):
+        # training.vgg_concat fuses VGG(sr) and VGG(hr) into one 2B-batch
+        # forward. VGG is batch-independent (convs/relus/pools only), so
+        # losses and updated params must match the two-call form.
+        batch = jnp.asarray(synthetic_batch(rng))
+        key = jax.random.key(17)
+        outs = []
+        for concat in (False, True):
+            config = tiny_config(vgg_weights="init", vgg_concat=concat)
+            bundle, g_state, d_state, vgg_params = build_bundle(config)
+            g_state, d_state, metrics = bundle.gan_step(
+                g_state, d_state, vgg_params, batch, key
+            )
+            outs.append((g_state.params, d_state.params, metrics))
+        for k in outs[0][2]:
+            assert float(outs[0][2][k]) == pytest.approx(
+                float(outs[1][2][k]), rel=1e-5, abs=1e-7
+            ), k
+        for idx, name in ((0, "g_params"), (1, "d_params")):
+            err = max(
+                jax.tree.leaves(
+                    jax.tree.map(
+                        lambda a, b: float(jnp.abs(a - b).max()),
+                        outs[0][idx], outs[1][idx],
+                    )
+                )
+            )
+            assert err < 1e-5, (name, err)
+
     def test_deterministic_given_key(self, rng):
         config = tiny_config()
         batch = jnp.asarray(synthetic_batch(rng))
