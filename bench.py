@@ -72,11 +72,11 @@ def run(batch_size: int, frames: int) -> float:
     else:
         apply_fn = model.apply
 
+    from fast_srgan_tpu.inference import sr_forward_u8
+
     @jax.jit
     def forward_u8(p, x_u8):
-        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        y = apply_fn(p, x)
-        u8 = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+        u8 = sr_forward_u8(apply_fn, p, x_u8)
         # int32 checksum: a 4-byte completion token per batch (see module
         # docstring — bulk fetch would measure the dev tunnel, and
         # block_until_ready does not actually block through it).
@@ -120,20 +120,38 @@ def _require_backend(timeout_s: float = 300.0) -> None:
     indefinitely during infrastructure outages (observed: `jax.devices()`
     hanging >10 min with 'TPU backend setup/compile error (Unavailable)').
     Normal init takes seconds — compile time is NOT part of this probe —
-    so a generous bound converts an infinite hang into a clear error."""
+    so a generous bound converts an infinite hang into a clear error.
+
+    The probe retries across a bounded window (BENCH_PROBE_RETRIES,
+    default 3 attempts with 60 s pauses — ~18 min worst case): the bench
+    runs unattended exactly once at round end, and a transient tunnel blip
+    at that moment should not forfeit the measurement."""
+    import time as _time
+
     from fast_srgan_tpu.utils.backend_probe import probe_device_count
 
-    n, err = probe_device_count(timeout_s)
+    attempts = max(1, int(os.environ.get("BENCH_PROBE_RETRIES", "3")))
+    err = None
+    for i in range(attempts):
+        if i:
+            _time.sleep(60.0)
+            print(f"# backend probe retry {i + 1}/{attempts}", flush=True)
+        n, err = probe_device_count(timeout_s)
+        if err is None and n is not None:
+            return
     if err is not None:
         raise SystemExit(f"accelerator backend init failed: {err}")
-    if n is None:
-        raise SystemExit(
-            f"accelerator backend failed to initialize within {timeout_s:.0f}s "
-            "(tunnel outage?); aborting the benchmark instead of hanging"
-        )
+    raise SystemExit(
+        f"accelerator backend failed to initialize within {timeout_s:.0f}s "
+        f"x{attempts} attempts (tunnel outage?); aborting the benchmark "
+        "instead of hanging"
+    )
 
 
 def main() -> None:
+    from fast_srgan_tpu.utils.platforms import honor_env_platforms
+
+    honor_env_platforms()  # JAX_PLATFORMS env beats sitecustomize
     _require_backend()
     frames = int(os.environ.get("BENCH_FRAMES", "800"))
     # Batch 96 is the measured optimum on v5e (sweep in docs/DESIGN.md:

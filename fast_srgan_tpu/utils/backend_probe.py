@@ -36,6 +36,11 @@ def probe_device_count(
         try:
             import jax
 
+            from fast_srgan_tpu.utils.platforms import honor_env_platforms
+
+            # JAX_PLATFORMS=cpu must probe the CPU backend, not the
+            # sitecustomize-forced tunnel platform (utils/platforms.py).
+            honor_env_platforms()
             info["n"] = len(jax.devices())
         except Exception as e:  # reported to the caller, not raised here
             info["error"] = repr(e)

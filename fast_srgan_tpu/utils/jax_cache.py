@@ -22,6 +22,13 @@ def enable(directory: str | None = None) -> str:
     """
     import jax
 
+    from fast_srgan_tpu.utils.platforms import honor_env_platforms
+
+    # The env var must win over sitecustomize's programmatic platform
+    # force-set (see utils/platforms.py) — and must be applied before the
+    # default_backend() probe below can initialize the wrong backend.
+    honor_env_platforms()
+
     platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
     if platforms:
         if all(p.strip() == "cpu" for p in platforms.split(",") if p.strip()):

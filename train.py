@@ -59,6 +59,13 @@ def main(argv=None) -> None:
         os.makedirs(run_dir, exist_ok=True)
         os.chdir(run_dir)
 
+    # JAX_PLATFORMS=cpu (the CPU-mesh recipe: smoke/soak/multihost drills)
+    # must beat sitecustomize's programmatic platform force-set, and must
+    # be applied before distributed/backend init freezes the selection.
+    from fast_srgan_tpu.utils.platforms import honor_env_platforms
+
+    honor_env_platforms()
+
     if config.parallel.multihost:
         # DCN bring-up: after this, jax.devices() spans all hosts and the
         # same mesh/sharding code below runs the global program (SPMD).
