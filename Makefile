@@ -57,8 +57,11 @@ bench-4k:
 # variants. 3 runs per arm (best-of-3 — single runs vary through the
 # tunnel; docs/DESIGN.md measurement protocol).
 train-ab:
-	for arm in "SHARED=0" "SHARED=1" "SHARED=1 VGG_CONCAT=1" \
-	           "SHARED=1 REMAT_VGG=1" "SHARED=1 VGG_CONCAT=1 REMAT_VGG=1"; do \
+	for arm in "SHARED=0 VGG_CONCAT=0 REMAT_VGG=0" \
+	           "SHARED=1 VGG_CONCAT=0 REMAT_VGG=0" \
+	           "SHARED=1 VGG_CONCAT=1 REMAT_VGG=0" \
+	           "SHARED=1 VGG_CONCAT=0 REMAT_VGG=1" \
+	           "SHARED=1 VGG_CONCAT=1 REMAT_VGG=1"; do \
 	  for i in 1 2 3; do \
 	    env STEPS=150 BATCH=96 VGG=init $$arm python scripts/train_throughput.py; \
 	  done; done

@@ -125,7 +125,12 @@ def _require_backend(timeout_s: float = 300.0) -> None:
     The probe retries across a bounded window (BENCH_PROBE_RETRIES,
     default 3 attempts with 60 s pauses — ~18 min worst case): the bench
     runs unattended exactly once at round end, and a transient tunnel blip
-    at that moment should not forfeit the measurement."""
+    at that moment should not forfeit the measurement. Only
+    transient-looking failures are retried (init timeout, or an error
+    naming Unavailable/deadline); a deterministic init error — wrong
+    platform string, missing plugin — fails immediately. Progress goes to
+    stderr: stdout carries exactly the one JSON result line."""
+    import sys
     import time as _time
 
     from fast_srgan_tpu.utils.backend_probe import probe_device_count
@@ -135,12 +140,25 @@ def _require_backend(timeout_s: float = 300.0) -> None:
     for i in range(attempts):
         if i:
             _time.sleep(60.0)
-            print(f"# backend probe retry {i + 1}/{attempts}", flush=True)
+            print(
+                f"# backend probe retry {i + 1}/{attempts}",
+                file=sys.stderr, flush=True,
+            )
         n, err = probe_device_count(timeout_s)
         if err is None and n is not None:
             return
+        transient = err is None or any(
+            s in err.lower() for s in ("unavailable", "deadline", "timed out")
+        )
+        if not transient:
+            raise SystemExit(
+                f"accelerator backend init failed (attempt {i + 1}, "
+                f"not retrying a deterministic error): {err}"
+            )
     if err is not None:
-        raise SystemExit(f"accelerator backend init failed: {err}")
+        raise SystemExit(
+            f"accelerator backend init failed after {attempts} attempts: {err}"
+        )
     raise SystemExit(
         f"accelerator backend failed to initialize within {timeout_s:.0f}s "
         f"x{attempts} attempts (tunnel outage?); aborting the benchmark "

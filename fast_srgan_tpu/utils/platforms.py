@@ -43,6 +43,19 @@ def honor_env_platforms() -> str | None:
             # Platform selection is frozen once a backend exists;
             # switching now could not take effect (and a library import
             # mid-process must never yank an app off its live backend).
+            # Warn: a silently-ignored JAX_PLATFORMS is the exact failure
+            # mode this module exists to kill — the caller touched
+            # devices before honoring the env.
+            import warnings
+
+            warnings.warn(
+                f"JAX_PLATFORMS={want!r} cannot take effect: the JAX "
+                f"backend is already initialized on "
+                f"{jax.config.jax_platforms!r}. Call honor_env_platforms()"
+                " before any device access.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return None
     except (ImportError, AttributeError):  # private API moved: fail open
         pass

@@ -80,6 +80,10 @@ def main() -> None:
     )
     entries = []
     for b, h, w in shapes:
+        # Progress per shape: each lowering is a full trace+compile and
+        # can take minutes on a cold cache — a multi-shape export must
+        # not look hung until the last one finishes.
+        print(f"  lowering {b}x{h}x{w} ...", flush=True)
         entries.append(((b, h, w), export_shape(
             forward, b, h, w, platforms=platforms
         )))
@@ -89,7 +93,9 @@ def main() -> None:
     )
     import json
 
-    for e in json.load(open(manifest))["entries"]:
+    with open(manifest) as f:
+        table = json.load(f)["entries"]
+    for e in table:
         print(f"  {e['batch']}x{e['height']}x{e['width']}: "
               f"{e['bytes']/1e6:.2f} MB, platforms {e['platforms']}")
     print(f"wrote {manifest}")

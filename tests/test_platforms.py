@@ -58,3 +58,35 @@ class TestHonorEnvPlatforms:
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "OK" in out.stdout
+
+    def test_warns_and_noops_after_backend_init(self):
+        # Once a backend exists, platform selection is frozen: the helper
+        # must leave the config alone AND warn — a silently-ignored
+        # JAX_PLATFORMS is the failure mode the module exists to kill.
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH")
+        }
+        env["JAX_PLATFORMS"] = ""  # child picks cpu by default
+        env["PYTHONPATH"] = REPO
+        code = (
+            "import warnings\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "jax.devices()\n"  # initialize the backend: selection frozen
+            "import os\n"
+            "os.environ['JAX_PLATFORMS'] = 'tpu'\n"
+            "from fast_srgan_tpu.utils.platforms import honor_env_platforms\n"
+            "with warnings.catch_warnings(record=True) as w:\n"
+            "    warnings.simplefilter('always')\n"
+            "    assert honor_env_platforms() is None\n"
+            "assert jax.config.jax_platforms == 'cpu'\n"
+            "assert any('already initialized' in str(x.message) for x in w)\n"
+            "print('OK')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env, capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "OK" in out.stdout
