@@ -104,6 +104,26 @@ def ssim_per_image(
 
 
 @jax.jit
+def luma_bt601(x01: jnp.ndarray) -> jnp.ndarray:
+    """Matlab-convention luma of [B, H, W, 3] RGB in [0, 1] -> [B, H, W, 1].
+
+    The SR literature's benchmark protocol (Set5/Set14/BSD100/DIV2K tables
+    in the SRGAN/ESRGAN papers) reports PSNR/SSIM on the Y channel of
+    matlab ``rgb2ycbcr`` — ITU-R BT.601 studio swing:
+
+        Y = (16 + 65.481 R + 128.553 G + 24.966 B) / 255,  RGB in [0, 1]
+
+    so published numbers can be reproduced with ``evaluate.py
+    --y_channel``. The reference itself computes RGB-domain metrics only
+    (trainer.py:53-69); this is the conversion it lacks.
+    """
+    if x01.shape[-1] != 3:
+        raise ValueError(f"expected RGB last dim 3, got {x01.shape}")
+    w = jnp.asarray([65.481, 128.553, 24.966], x01.dtype) / 255.0
+    y = jnp.tensordot(x01, w, axes=[[-1], [0]]) + 16.0 / 255.0
+    return y[..., None]
+
+
 def psnr_accumulate(pred: jnp.ndarray, target: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-batch (sum_squared_error, element_count) for aggregate PSNR."""
     diff = pred.astype(jnp.float32) - target.astype(jnp.float32)

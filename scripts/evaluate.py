@@ -12,6 +12,13 @@ generator -> PSNR/SSIM vs ground truth on [0,1] images.
 
 Images are center-cropped to a multiple of 4 (or to --crop) so LR synthesis
 is exact. Prints per-image and aggregate PSNR / mean SSIM.
+
+``--y_channel`` switches to the SR literature's benchmark protocol —
+PSNR/SSIM on the matlab-convention BT.601 luma with a shaved border
+(``--shave``, default = the scale factor when --y_channel is given) — so
+results are comparable with published Set5/Set14/BSD100/DIV2K tables
+(SRGAN/ESRGAN evaluation convention). Default (RGB, no shave) matches the
+reference's training-time metric domain (trainer.py:53-69).
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from fast_srgan_tpu.metrics.psnr_ssim import (  # noqa: E402
+    luma_bt601,
     psnr_from_accumulator,
     ssim_per_image,
 )
@@ -44,6 +52,17 @@ def main() -> None:
     parser.add_argument("--crop", type=int, default=0,
                         help="center-crop HR to this size (0 = full image)")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument(
+        "--y_channel", action="store_true",
+        help="metrics on matlab-convention BT.601 luma instead of RGB "
+        "(the SR literature's Set5/Set14/DIV2K benchmark protocol)",
+    )
+    parser.add_argument(
+        "--shave", type=int, default=None,
+        help="crop this many border pixels before metrics (literature "
+        "protocol: the scale factor). Default: 0, or scale with "
+        "--y_channel",
+    )
     parser.add_argument(
         "--n_filters", type=int, default=None,
         help="override the architecture read from the checkpoint",
@@ -69,6 +88,10 @@ def main() -> None:
 
     import jax
 
+    shave = args.shave
+    if shave is None:
+        shave = scale if args.y_channel else 0
+
     # params passed as a jit argument (not closed over): closure constants
     # get baked into every compiled program, duplicating the weights per
     # distinct image resolution in the compile cache.
@@ -80,6 +103,11 @@ def main() -> None:
         sr01 = (model.apply(p, lr) + 1.0) / 2.0
         sr01 = jnp.clip(sr01, 0.0, 1.0)
         hr01 = hr / 255.0
+        if args.y_channel:
+            sr01, hr01 = luma_bt601(sr01), luma_bt601(hr01)
+        if shave:
+            sr01 = sr01[:, shave:-shave, shave:-shave]
+            hr01 = hr01[:, shave:-shave, shave:-shave]
         diff = sr01 - hr01
         return jnp.sum(diff * diff), ssim_per_image(sr01, hr01)[0]
 
@@ -99,7 +127,8 @@ def main() -> None:
         top, left = (h - ch) // 2, (w - cw) // 2
         crop = img[top : top + ch, left : left + cw]
         sse, ssim = evaluate(params, jnp.asarray(crop[None]))
-        n = crop.size
+        # element count of the measured tensor (post-luma, post-shave)
+        n = (ch - 2 * shave) * (cw - 2 * shave) * (1 if args.y_channel else 3)
         psnr = psnr_from_accumulator(float(sse), float(n))
         print(f"{name:<28} PSNR {psnr:6.2f} dB   SSIM {float(ssim):.4f}")
         sse_total += float(sse)

@@ -48,6 +48,7 @@ SLOW_NODE_PATTERNS = (
     "test_video.py",
     "test_discriminator_parity.py",
     "test_lr_tail.py",
+    "test_evaluate.py",
     # specific compile-heavy classes/tests in otherwise-quick modules
     "test_graft_entry.py::TestEntry",
     "test_graft_entry.py::TestDryrunMultichip::test_eight",

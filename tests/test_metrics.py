@@ -90,3 +90,39 @@ class TestPSNR:
         mse = (np.sum((a1 - b1) ** 2) + np.sum((a2 - b2) ** 2)) / (a1.size + a2.size)
         np.testing.assert_allclose(psnr, 10 * np.log10(1.0 / mse), rtol=1e-5)
         assert -1.0 <= ssim <= 1.0
+
+
+class TestLumaBT601:
+    """Matlab rgb2ycbcr Y-channel convention (evaluate.py --y_channel)."""
+
+    def test_known_values(self):
+        from fast_srgan_tpu.metrics.psnr_ssim import luma_bt601
+
+        x = np.array(
+            [[[[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]]]], np.float32
+        )  # white, black
+        y = np.asarray(luma_bt601(jnp.asarray(x)))
+        assert y.shape == (1, 1, 2, 1)
+        np.testing.assert_allclose(y[0, 0, 0, 0], 235.0 / 255.0, atol=1e-6)
+        np.testing.assert_allclose(y[0, 0, 1, 0], 16.0 / 255.0, atol=1e-6)
+
+    def test_matches_numpy_oracle(self, rng):
+        from fast_srgan_tpu.metrics.psnr_ssim import luma_bt601
+
+        x = rng.uniform(0, 1, (2, 7, 5, 3)).astype(np.float32)
+        want = (
+            16.0
+            + 65.481 * x[..., 0]
+            + 128.553 * x[..., 1]
+            + 24.966 * x[..., 2]
+        ) / 255.0
+        got = np.asarray(luma_bt601(jnp.asarray(x)))[..., 0]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rejects_non_rgb(self):
+        import pytest
+
+        from fast_srgan_tpu.metrics.psnr_ssim import luma_bt601
+
+        with pytest.raises(ValueError):
+            luma_bt601(jnp.zeros((1, 4, 4, 1)))
