@@ -54,9 +54,15 @@ class CheckpointIO:
         copies — orbax offers no atomic same-step replace, so the window
         cannot be closed entirely, but it is then bounded by one flush
         rather than left open across async training."""
+        # ALWAYS drain in-flight async saves first. A save issued while a
+        # previous save of the SAME step is still flushing (observed on
+        # hardware: SIGINT landing right after the periodic save of step
+        # 1250, round-2 soak) makes orbax's atomicity layer rmtree the
+        # live writer's tmp dir — the writer dies with NOT_FOUND and the
+        # cleanup with "Directory not empty"; both copies are lost.
+        self.wait()
         replacing = self.has_step(step)
         if replacing:
-            self.wait()  # don't delete a step that is still flushing
             self.manager.delete(step)
         # force=True: CheckpointManager.save silently no-ops on any
         # step <= latest_step (should_save gate) — exactly the rerun-over-

@@ -318,9 +318,22 @@ class Trainer:
         except KeyboardInterrupt:
             step = self._pretrain_step
             try:
-                print(f"\nInterrupted at pretrain step {step}; checkpointing")
-                self.pretrain_progress.save(step, self._state_tree())
+                # Drain any in-flight periodic save first; if it already
+                # committed this very step (SIGINT right at a checkpoint
+                # boundary), the snapshot exists — saving again would only
+                # re-write identical state.
                 self.pretrain_progress.wait()
+                if self.pretrain_progress.has_step(step):
+                    print(
+                        f"\nInterrupted at pretrain step {step}; already "
+                        "checkpointed"
+                    )
+                else:
+                    print(
+                        f"\nInterrupted at pretrain step {step}; checkpointing"
+                    )
+                    self.pretrain_progress.save(step, self._state_tree())
+                    self.pretrain_progress.wait()
             except (RuntimeError, ValueError) as e:
                 print(
                     f"Could not snapshot pretrain step {step} ({e}); latest "
@@ -367,9 +380,22 @@ class Trainer:
             # landed inside the dispatched step, hence the guard.
             step = self._gan_step
             try:
-                print(f"\nInterrupted at step {step}; checkpointing before exit")
-                self.save_checkpoints(step)
+                # Drain any in-flight periodic save BEFORE touching the
+                # manager: a same-step save issued while the async flush of
+                # that step was still writing destroyed both copies on
+                # hardware (round-2 soak, step 1250 — orbax tmp-dir cleanup
+                # raced the live writer). If the flush already committed
+                # this step, the snapshot exists; skip the redundant save.
                 self.ckpt.wait()
+                if self.ckpt.has_step(step):
+                    print(f"\nInterrupted at step {step}; already checkpointed")
+                else:
+                    print(
+                        f"\nInterrupted at step {step}; checkpointing "
+                        "before exit"
+                    )
+                    self.save_checkpoints(step)
+                    self.ckpt.wait()
             except (RuntimeError, ValueError) as e:
                 # RuntimeError: donated/deleted arrays mid-step;
                 # ValueError: orbax StepAlreadyExistsError when the interrupt

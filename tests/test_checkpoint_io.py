@@ -75,6 +75,26 @@ class TestCheckpointIO:
         assert io.has_step(5)
         io.close()
 
+    def test_same_step_resave_while_flushing(self, tmp_path):
+        # Regression (caught by the round-2 hardware soak): a save of step N
+        # issued while the async flush of step N was still writing made
+        # orbax's tmp-dir cleanup rmtree the live writer's directory — the
+        # writer died with NOT_FOUND, the cleanup with "Directory not
+        # empty", and both copies were lost. save() must drain in-flight
+        # flushes before touching the step dir, making back-to-back
+        # same-step saves (SIGINT right after a periodic checkpoint) safe.
+        io = CheckpointIO(str(tmp_path / "ck"), max_to_keep=3)
+        big = {"w": jnp.arange(1 << 16, dtype=jnp.float32)}  # slow-ish flush
+        io.save(10, big)
+        io.save(10, {"w": jnp.ones(1 << 16)})  # no wait() in between
+        io.wait()
+        assert io.has_step(10)
+        back = io.restore(10, like=big)
+        np.testing.assert_array_equal(
+            np.asarray(back["w"]), np.ones(1 << 16, np.float32)
+        )
+        io.close()
+
     def test_retention(self, tmp_path):
         io = CheckpointIO(str(tmp_path / "ck"), max_to_keep=2)
         tree = {"w": jnp.zeros(2)}
