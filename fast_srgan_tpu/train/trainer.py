@@ -125,6 +125,13 @@ class Trainer:
         self._panel_phases: set = set()
         self._rng = jax.random.key(config.experiment.seed)
         self._gan_step = 0  # GAN loop step (checkpoint/metric key)
+        # Steps actually saved BY THIS PROCESS (per phase). The interrupt
+        # handlers key their skip-redundant-save guard on these, not on
+        # has_step(): with training.resume=false over an existing run dir a
+        # stale prior-run checkpoint can exist at the interrupt step, and
+        # skipping there would leave stale weights as latest_step.
+        self._last_gan_saved: Optional[int] = None
+        self._last_pretrain_saved: Optional[int] = None
 
     # -- helpers --------------------------------------------------------------
 
@@ -315,15 +322,18 @@ class Trainer:
                     self._log_generated("Pretrain/Generated", step)
                     self.validate(val_sampler, "Pretrain", step)
                     self.pretrain_progress.save(step, self._state_tree())
+                    self._last_pretrain_saved = step
         except KeyboardInterrupt:
             step = self._pretrain_step
             try:
-                # Drain any in-flight periodic save first; if it already
-                # committed this very step (SIGINT right at a checkpoint
-                # boundary), the snapshot exists — saving again would only
-                # re-write identical state.
+                # Drain any in-flight periodic save first; if THIS PROCESS
+                # already committed this very step (SIGINT right at a
+                # checkpoint boundary), the snapshot exists — saving again
+                # would only re-write identical state. Keyed on
+                # _last_pretrain_saved, not has_step(): a stale prior-run
+                # checkpoint at this step must be overwritten, not trusted.
                 self.pretrain_progress.wait()
-                if self.pretrain_progress.has_step(step):
+                if step == self._last_pretrain_saved:
                     print(
                         f"\nInterrupted at pretrain step {step}; already "
                         "checkpointed"
@@ -333,6 +343,7 @@ class Trainer:
                         f"\nInterrupted at pretrain step {step}; checkpointing"
                     )
                     self.pretrain_progress.save(step, self._state_tree())
+                    self._last_pretrain_saved = step
                     self.pretrain_progress.wait()
             except (RuntimeError, ValueError) as e:
                 print(
@@ -386,8 +397,11 @@ class Trainer:
                 # hardware (round-2 soak, step 1250 — orbax tmp-dir cleanup
                 # raced the live writer). If the flush already committed
                 # this step, the snapshot exists; skip the redundant save.
+                # Keyed on _last_gan_saved (steps saved by THIS process),
+                # not has_step(): a stale prior-run checkpoint at this step
+                # must be overwritten, not trusted as the live state.
                 self.ckpt.wait()
-                if self.ckpt.has_step(step):
+                if step == self._last_gan_saved:
                     print(f"\nInterrupted at step {step}; already checkpointed")
                 else:
                     print(
@@ -460,6 +474,7 @@ class Trainer:
         (the reference writes 4 raw state_dict files — trainer.py:143-156;
         our .pt export keeps its checkpoints loadable by the upstream CLI)."""
         self.ckpt.save(step, self._state_tree())
+        self._last_gan_saved = step
         if self.config.training.get("export_pt", False):
             from fast_srgan_tpu.checkpoints.torch_compat import (
                 discriminator_optimizer_to_torch_state_dict,

@@ -30,6 +30,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -62,41 +63,49 @@ def main() -> None:
         rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
     )
 
-    def content(sr):
+    # params and hr are TRACED arguments (not closure constants): closing
+    # over them would let XLA constant-fold / hoist the loop-invariant
+    # VGG(hr) forward out of the timed iteration, understating the term —
+    # in the real GAN step hr varies per batch and VGG(hr) runs every step.
+    def content(params, sr, hr):
         return smooth_l1_loss(vgg.apply(params, sr), vgg.apply(params, hr))
 
-    grad_fn = jax.value_and_grad(content)
+    grad_fn = jax.value_and_grad(content, argnums=1)
 
     # --- part B1: VGG content term forward + grad wrt sr (what the GAN
-    # step's G update adds on top of the no-VGG iteration). Donated chain:
+    # step's G update adds on top of the no-VGG iteration). Donated chain
+    # (sr is donated, matching the train step's donated state buffers):
     # each iteration's sr depends on the previous grad, so the sequence
     # cannot overlap across steps and the final fetch forces completion
     # (the tunnel's block_until_ready returns early — see bench.py).
-    @jax.jit
-    def chain_step(sr):
-        loss, g = grad_fn(sr)
+    @partial(jax.jit, donate_argnums=(1,))
+    def chain_step(params, sr, hr):
+        loss, g = grad_fn(params, sr, hr)
         return sr - 1e-3 * g, loss
 
-    sr, loss = chain_step(sr0)
+    sr, loss = chain_step(params, sr0, hr)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        sr, loss = chain_step(sr)
+        sr, loss = chain_step(params, sr, hr)
     float(loss)
     fwd_bwd_ms = (time.perf_counter() - t0) / steps * 1e3
 
     # --- part B2: the two VGG forwards alone (no grad) — prices the
     # backward separately.
-    @jax.jit
-    def fwd_chain(sr):
-        loss = content(sr)
+    @partial(jax.jit, donate_argnums=(1,))
+    def fwd_chain(params, sr, hr):
+        loss = content(params, sr, hr)
         return sr + (loss * 0).astype(sr.dtype), loss
 
-    sr, loss = fwd_chain(sr0)
+    sr0 = jax.device_put(
+        rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
+    )
+    sr, loss = fwd_chain(params, sr0, hr)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        sr, loss = fwd_chain(sr)
+        sr, loss = fwd_chain(params, sr, hr)
     float(loss)
     fwd_ms = (time.perf_counter() - t0) / steps * 1e3
 

@@ -236,6 +236,57 @@ class TestPretrainInterruptResume:
         assert trainer2.pretrain_ckpt.has_step(PRETRAIN_STEP)
         trainer2.close()
 
+    def test_interrupt_overwrites_stale_prior_run_checkpoint(
+        self, npy_dir, tmp_path, monkeypatch
+    ):
+        """resume=false over an existing run dir, interrupted at a step a
+        PREVIOUS run checkpointed: the guard must save the live state over
+        the stale snapshot (keyed on steps saved by this process, not
+        has_step) — otherwise the next resume restores prior-run weights."""
+        monkeypatch.chdir(tmp_path)
+        config = make_config(tmp_path, npy_dir, name="stale")
+        config.training.pretrain_iterations = 4
+        sampler = CropSampler(
+            list_numpy_files(npy_dir), 8, 4, seed=0, backend="numpy"
+        )
+
+        class InterruptingLoader(PrefetchLoader):
+            stop_after = 3
+
+            def iter_from(self, start):
+                for i, batch in enumerate(
+                    super().iter_from(start), start=start + 1
+                ):
+                    yield batch
+                    if i >= self.stop_after:
+                        raise KeyboardInterrupt
+
+        # run 1: leaves a checkpoint at step 3
+        trainer = Trainer(config)
+        with pytest.raises(KeyboardInterrupt):
+            trainer.pretrain(InterruptingLoader(sampler, 2, 4, workers=1), sampler)
+        assert trainer.pretrain_progress.latest_step() == 3
+        trainer.close()
+
+        # run 2: fresh start (resume=false), DIFFERENT seed -> different
+        # params; interrupted at the same step 3 where the stale run-1
+        # checkpoint sits.
+        config.training.resume = False
+        config.experiment.seed = 1
+        trainer2 = Trainer(config)
+        with pytest.raises(KeyboardInterrupt):
+            trainer2.pretrain(
+                InterruptingLoader(sampler, 2, 4, workers=1), sampler
+            )
+        trainer2.pretrain_progress.wait()
+        restored = trainer2.pretrain_progress.restore(3)
+        live = np.asarray(
+            trainer2.g_state.params["params"]["neck_conv"]["kernel"]
+        )
+        saved = np.asarray(restored["g_params"]["params"]["neck_conv"]["kernel"])
+        np.testing.assert_array_equal(saved, live)
+        trainer2.close()
+
 
 class TestEmaTrainer:
     def test_ema_trains_checkpoints_and_resumes(
