@@ -4,9 +4,11 @@ training.vgg_weights config path end-to-end.
 The reference's perceptual loss runs torchvision ``vgg19().features[:34]``
 on [-1,1] inputs after ImageNet normalization (reference model.py:5-23).
 ImageNet weights are not available in this environment (no egress), so the
-oracle uses a *synthetic* torchvision-layout state_dict — parity of the
-computation graph and the weight conversion is what's under test, and it
-holds for any weights.
+oracles use torch-built weights: one case constructs torchvision's literal
+vgg19 module layout in plain torch (state_dict keys from torch's OWN module
+naming, forward through ``features[:34]`` as the oracle), another a
+hand-built synthetic-layout dict — parity of the computation graph and the
+weight conversion is what's under test, and it holds for any weights.
 """
 
 
@@ -72,7 +74,73 @@ def torch_vgg_forward(sd, x_nchw: torch.Tensor) -> torch.Tensor:
     return x
 
 
+# torchvision cfg 'E' (vgg19): the FULL features stack, 16 convs + 5 pools
+# (torchvision.models.vgg.cfgs["E"]). The reference keeps features[:34]
+# (reference model.py:8) — everything through the ReLU after conv5_3.
+VGG19_CFG_E_FULL = [
+    64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+    512, 512, 512, 512, "M", 512, 512, 512, 512, "M",
+]
+
+
+def make_torchvision_style_vgg19() -> torch.nn.Module:
+    """torchvision's literal vgg19 graph built in plain torch: an
+    ``nn.Sequential`` registered as ``features`` with conv/relu/pool laid
+    out exactly like torchvision's ``make_layers(cfgs["E"])`` — so
+    ``state_dict()`` produces the real key map (``features.0.weight`` …
+    ``features.34.weight``) by torch's OWN module naming, plus classifier
+    keys, matching the on-disk vgg19-dcbb9e9d.pth structure."""
+    layers = []
+    c_in = 3
+    for v in VGG19_CFG_E_FULL:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers.append(torch.nn.Conv2d(c_in, v, kernel_size=3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            c_in = v
+
+    class TorchVisionStyleVGG(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = torch.nn.Sequential(*layers)
+            # the ImageNet checkpoint also carries classifier.* keys; the
+            # converter must ignore them
+            self.classifier = torch.nn.Linear(512 * 7 * 7, 4096)
+
+    torch.manual_seed(0)
+    return TorchVisionStyleVGG()
+
+
 class TestVGGParity:
+    def test_real_torch_layout_state_dict_matches_features34_oracle(self, rng):
+        """The converter's last key/layout risk, closed without egress:
+        the state_dict comes from torch's own module naming (not a
+        hand-built dict), and the oracle is the torch module's
+        ``features[:34]`` forward — the exact consumer the reference builds
+        at /root/reference/model.py:5-23."""
+        model = make_torchvision_style_vgg19().eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        # torch's own naming produced the full real key map
+        assert "features.0.weight" in sd and "features.32.weight" in sd
+        assert "features.34.weight" in sd  # conv5_4, dropped by [:34]
+        assert "classifier.weight" in sd  # ignored by the converter
+
+        params = vgg19_params_from_torch_state_dict(sd)
+        x = rng.uniform(-1, 1, (2, 48, 48, 3)).astype(np.float32)
+
+        ours = np.asarray(VGG19Features().apply(params, jnp.asarray(x)))
+        with torch.no_grad():
+            mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+            std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            normalized = ((xt + 1.0) / 2.0 - mean) / std
+            want = (
+                model.features[:34](normalized).permute(0, 2, 3, 1).numpy()
+            )
+        assert ours.shape == want.shape == (2, 3, 3, 512)
+        np.testing.assert_allclose(ours, want, atol=2e-4)
+
     def test_converted_weights_match_torch_graph(self, rng):
         sd = synthetic_torch_vgg_sd()
         params = vgg19_params_from_torch_state_dict(sd)
