@@ -18,11 +18,68 @@ lacks — SURVEY.md §5).
 from __future__ import annotations
 
 import os
+import signal
+import threading
+from contextlib import contextmanager
 from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
 PRETRAIN_STEP = 0  # the reserved step key for the end-of-pretrain snapshot
+
+# --- SIGINT deferral around the checkpoint dispatch window -----------------
+# A KeyboardInterrupt landing INSIDE CheckpointManager.save() tears the
+# dispatch midway: async commit futures are already running but not yet
+# registered with the manager, so a subsequent wait_until_finished() cannot
+# see them — and the interrupt handler's own save then races the orphaned
+# writer threads on the step's tmp dir. Observed on hardware twice (round-2
+# soak and the round-3 rerun, both at a checkpoint-boundary SIGINT): orbax's
+# stale-tmp cleanup rmtree's `<step>.orbax-checkpoint-tmp` while the orphan
+# is still writing into it — "Directory not empty" + NOT_FOUND, both copies
+# lost. Post-hoc guards cannot close this (the orphans are invisible), so
+# the dispatch window itself must be uninterruptible: SIGINT received inside
+# `defer_sigint()` is recorded and re-raised as KeyboardInterrupt when the
+# OUTERMOST block exits.
+
+_defer_lock = threading.Lock()
+_defer_depth = 0
+_pending_sigint = False
+_prev_handler = None
+
+
+@contextmanager
+def defer_sigint():
+    """Delay Ctrl-C delivery until this (reentrant) block exits.
+
+    Only the main thread can retarget signal handlers; on other threads
+    this is a no-op (signals are delivered to the main thread anyway).
+    """
+    global _defer_depth, _pending_sigint, _prev_handler
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
+
+    def _record(signum, frame):
+        global _pending_sigint
+        _pending_sigint = True
+
+    with _defer_lock:
+        _defer_depth += 1
+        if _defer_depth == 1:
+            _pending_sigint = False
+            _prev_handler = signal.signal(signal.SIGINT, _record)
+    try:
+        yield
+    finally:
+        with _defer_lock:
+            _defer_depth -= 1
+            outermost = _defer_depth == 0
+            if outermost:
+                signal.signal(signal.SIGINT, _prev_handler)
+                fire = _pending_sigint
+                _pending_sigint = False
+        if outermost and fire:
+            raise KeyboardInterrupt
 
 
 class CheckpointIO:
@@ -54,32 +111,38 @@ class CheckpointIO:
         copies — orbax offers no atomic same-step replace, so the window
         cannot be closed entirely, but it is then bounded by one flush
         rather than left open across async training."""
-        # ALWAYS drain in-flight async saves first. A save issued while a
-        # previous save of the SAME step is still flushing (observed on
-        # hardware: SIGINT landing right after the periodic save of step
-        # 1250, round-2 soak) makes orbax's atomicity layer rmtree the
-        # live writer's tmp dir — the writer dies with NOT_FOUND and the
-        # cleanup with "Directory not empty"; both copies are lost.
-        self.wait()
-        replacing = self.has_step(step)
-        if replacing:
-            self.manager.delete(step)
-        # force=True: CheckpointManager.save silently no-ops on any
-        # step <= latest_step (should_save gate) — exactly the rerun-over-
-        # an-existing-run-dir case this replace path exists for. Without
-        # it, delete(step)+save(step) would DELETE the old checkpoint and
-        # then write nothing.
-        saved = self.manager.save(
-            step, args=ocp.args.StandardSave(tree), force=True
-        )
-        if not saved:
-            raise RuntimeError(
-                f"orbax declined to save step {step} "
-                f"(latest={self.manager.latest_step()}); checkpoint would "
-                "be silently lost"
-            )
-        if replacing:
+        # The whole wait/delete/save sequence runs with SIGINT deferred: an
+        # interrupt inside the dispatch orphans writer threads that
+        # wait_until_finished() cannot see (see defer_sigint above), and an
+        # interrupt between delete and save would lose the old copy with no
+        # new one. The signal re-raises when the block exits.
+        with defer_sigint():
+            # ALWAYS drain in-flight async saves first. A save issued while
+            # a previous save of the SAME step is still flushing (observed
+            # on hardware: SIGINT landing right after the periodic save of
+            # step 1250, round-2 soak) makes orbax's atomicity layer rmtree
+            # the live writer's tmp dir — the writer dies with NOT_FOUND and
+            # the cleanup with "Directory not empty"; both copies are lost.
             self.wait()
+            replacing = self.has_step(step)
+            if replacing:
+                self.manager.delete(step)
+            # force=True: CheckpointManager.save silently no-ops on any
+            # step <= latest_step (should_save gate) — exactly the rerun-
+            # over-an-existing-run-dir case this replace path exists for.
+            # Without it, delete(step)+save(step) would DELETE the old
+            # checkpoint and then write nothing.
+            saved = self.manager.save(
+                step, args=ocp.args.StandardSave(tree), force=True
+            )
+            if not saved:
+                raise RuntimeError(
+                    f"orbax declined to save step {step} "
+                    f"(latest={self.manager.latest_step()}); checkpoint "
+                    "would be silently lost"
+                )
+            if replacing:
+                self.wait()
 
     def wait(self) -> None:
         self.manager.wait_until_finished()

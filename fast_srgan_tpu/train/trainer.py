@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm import tqdm
 
-from fast_srgan_tpu.checkpoints.orbax_io import PRETRAIN_STEP, CheckpointIO
+from fast_srgan_tpu.checkpoints.orbax_io import (
+    PRETRAIN_STEP,
+    CheckpointIO,
+    defer_sigint,
+)
 from fast_srgan_tpu.data.pipeline import CropSampler, PrefetchLoader
 from fast_srgan_tpu.metrics.psnr_ssim import psnr_from_accumulator
 from fast_srgan_tpu.ops.resize import resize_bicubic_nhwc
@@ -321,8 +325,12 @@ class Trainer:
                 if step % ckpt_iter == 0:
                     self._log_generated("Pretrain/Generated", step)
                     self.validate(val_sampler, "Pretrain", step)
-                    self.pretrain_progress.save(step, self._state_tree())
-                    self._last_pretrain_saved = step
+                    # bookkeeping rides inside the SIGINT-deferral window:
+                    # an interrupt can never separate a dispatched save
+                    # from its _last_pretrain_saved record
+                    with defer_sigint():
+                        self.pretrain_progress.save(step, self._state_tree())
+                        self._last_pretrain_saved = step
         except KeyboardInterrupt:
             step = self._pretrain_step
             try:
@@ -472,7 +480,16 @@ class Trainer:
     def save_checkpoints(self, step: int) -> None:
         """Orbax snapshot (async) + optional reference-format .pt export
         (the reference writes 4 raw state_dict files — trainer.py:143-156;
-        our .pt export keeps its checkpoints loadable by the upstream CLI)."""
+        our .pt export keeps its checkpoints loadable by the upstream CLI).
+
+        SIGINT is deferred across the whole unit (orbax dispatch +
+        _last_gan_saved bookkeeping + .pt export) so an interrupt cannot
+        split a checkpoint into a saved-but-unrecorded or half-exported
+        state; the signal re-raises on return."""
+        with defer_sigint():
+            self._save_checkpoints_body(step)
+
+    def _save_checkpoints_body(self, step: int) -> None:
         self.ckpt.save(step, self._state_tree())
         self._last_gan_saved = step
         if self.config.training.get("export_pt", False):

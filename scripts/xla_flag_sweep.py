@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Probe the last measured single-chip gap with XLA scheduling/memory knobs.
+
+docs/DESIGN.md's roofline analysis leaves the 720p headline bench at ~81% of
+XLA's own cost-model optimum and attributes the residual to imperfect
+compute/memory overlap inside the compiled program. Four Pallas campaigns
+bounded hand-kernel headroom at a few percent, but no *compiler-option*
+sweep was ever recorded for the final program — this script closes that:
+each arm re-runs the full bench (bench.py, 800-frame protocol) in a fresh
+subprocess with one XLA_FLAGS configuration, best-of-N to absorb tunnel
+variance, and prints a table plus a JSON summary for DESIGN.md.
+
+Arms target the two lever families a fused conv pipeline has on TPU:
+  * instruction scheduling (latency-hiding scheduler on/off, rerun budget),
+  * scoped VMEM budget (--xla_tpu_scoped_vmem_limit_kib), which bounds how
+    much on-chip memory fusions may claim — the knob that moves
+    compute/memory overlap for bandwidth-bound fusion chains.
+
+A flag the local libtpu/XLA build does not recognize makes the child fail;
+that arm is recorded as "invalid-flag", not silently dropped.
+
+Usage: python scripts/xla_flag_sweep.py  [REPEATS=2] [BENCH_FRAMES=800]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARMS = [
+    ("baseline", ""),
+    ("lhs-on", "--xla_tpu_enable_latency_hiding_scheduler=true"),
+    ("lhs-off", "--xla_tpu_enable_latency_hiding_scheduler=false"),
+    ("vmem-32m", "--xla_tpu_scoped_vmem_limit_kib=32768"),
+    ("vmem-64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
+    (
+        "lhs-on+vmem-64m",
+        "--xla_tpu_enable_latency_hiding_scheduler=true "
+        "--xla_tpu_scoped_vmem_limit_kib=65536",
+    ),
+]
+
+
+def run_arm(flags: str, frames: int) -> tuple:
+    """One bench.py run under `flags`; returns (fps|None, error|None)."""
+    env = dict(os.environ)
+    base = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (base + " " + flags).strip()
+    env["BENCH_FRAMES"] = str(frames)
+    # One probe attempt: the sweep runs attended; a tunnel outage should
+    # surface immediately rather than burn 18 min per arm retrying.
+    env["BENCH_PROBE_RETRIES"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+        return None, " | ".join(tail)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)["value"], None
+    return None, "no JSON line in bench output"
+
+
+def main() -> None:
+    repeats = int(os.environ.get("REPEATS", "2"))
+    frames = int(os.environ.get("BENCH_FRAMES", "800"))
+    results = []
+    for name, flags in ARMS:
+        best, err = None, None
+        for r in range(repeats):
+            fps, err = run_arm(flags, frames)
+            print(
+                f"# {name} run {r + 1}/{repeats}: "
+                + (f"{fps:.2f} fps" if fps else f"FAILED ({err})"),
+                file=sys.stderr, flush=True,
+            )
+            if fps is not None and (best is None or fps > best):
+                best = fps
+            if fps is None and err and "Unknown" in err:
+                err = f"invalid-flag: {err}"
+                break
+        results.append({"arm": name, "flags": flags, "best_fps": best,
+                        "error": None if best is not None else err})
+
+    base = next(r["best_fps"] for r in results if r["arm"] == "baseline")
+    print(f"\n{'arm':<18} {'best fps':>9} {'vs baseline':>12}  flags")
+    for r in results:
+        if r["best_fps"] is None:
+            print(f"{r['arm']:<18} {'--':>9} {'--':>12}  {r['error']}")
+        else:
+            print(
+                f"{r['arm']:<18} {r['best_fps']:>9.2f} "
+                f"{r['best_fps'] / base:>11.3f}x  {r['flags'] or '(none)'}"
+            )
+    print(json.dumps({"frames": frames, "repeats": repeats,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
