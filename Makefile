@@ -25,7 +25,8 @@ smoke:
 	python scripts/make_dataset.py /tmp/sr_train --n 8 --size 160
 	PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu \
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-	python train.py data.image_dir=/tmp/sr_train data.numpy_dir=/tmp/sr_np \
+	python train.py hydra.run.dir=. \
+	  data.image_dir=/tmp/sr_train data.numpy_dir=/tmp/sr_np \
 	  generator.n_filters=16 generator.n_layers=2 discriminator.n_filters=16 \
 	  training.pretrain_iterations=4 training.iterations=4 \
 	  training.batch_size=8 training.log_iter=2 training.checkpoint_iter=2 \

@@ -115,6 +115,9 @@ def main() -> None:
 
     cmd = [
         sys.executable, "train.py",
+        # stay in the repo cwd: the monitor tails runs/<name>/metrics.jsonl
+        # (hydra.run.dir=. opts out of the default per-run output dir)
+        "hydra.run.dir=.",
         f"data.image_dir={args.data}",
         f"data.numpy_dir={args.data}_np",
         f"experiment.name={args.name}",

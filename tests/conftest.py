@@ -46,7 +46,6 @@ SLOW_NODE_PATTERNS = (
     "test_scaled_configs.py",
     "test_serving.py",
     "test_video.py",
-    "test_discriminator_parity.py",
     "test_lr_tail.py",
     "test_evaluate.py",
     # specific compile-heavy classes/tests in otherwise-quick modules
@@ -67,8 +66,6 @@ SLOW_NODE_PATTERNS = (
     "test_augment.py::TestAugmentMesh",
     "test_scale_factors.py::TestScaleFactors::test_2x_train_step",
     "test_vgg_parity.py::TestVGGParity::test_gan_step_uses_vgg_weights_file",
-    "test_models.py::TestDiscriminator::test_param_count_golden",
-    "test_torch_compat.py::TestNumericalParity",
     "test_kernels.py",
     "test_multihost.py",
     "test_fused_upsample.py",

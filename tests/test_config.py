@@ -114,3 +114,50 @@ class TestConfigRobustness:
         c = load_config(str(y))
         assert c.experiment.name == "2024" and isinstance(c.experiment.name, str)
         assert c.training.generator_lr == 1e-4  # YAML-1.1 sci-notation fixed
+
+
+class TestRunDir:
+    """Hydra-1.1 auto-chdir parity (reference train.py:46): default is a
+    per-run outputs/<date>/<time>/ dir; hydra.run.dir=DIR redirects;
+    hydra.run.dir=. opts out."""
+
+    def _cfg(self, overrides):
+        c = default_config()
+        apply_overrides(c, overrides)
+        return c
+
+    def test_default_is_dated_outputs_dir(self):
+        import re
+
+        import train as train_cli
+
+        run_dir = train_cli.resolve_run_dir(self._cfg([]))
+        assert re.fullmatch(
+            r"outputs/\d{4}-\d{2}-\d{2}/\d{2}-\d{2}-\d{2}", run_dir
+        ), run_dir
+
+    def test_override_and_optout(self, tmp_path, monkeypatch):
+        import os
+
+        import train as train_cli
+
+        cfg = self._cfg([f"hydra.run.dir={tmp_path}/sub"])
+        assert train_cli.resolve_run_dir(cfg) == f"{tmp_path}/sub"
+        monkeypatch.chdir(tmp_path)
+        train_cli.enter_run_dir(cfg)
+        assert os.getcwd() == str(tmp_path / "sub")
+
+        # opt-out: no chdir
+        monkeypatch.chdir(tmp_path)
+        train_cli.enter_run_dir(self._cfg(["hydra.run.dir=."]))
+        assert os.getcwd() == str(tmp_path)
+
+    def test_enter_creates_dated_dir(self, tmp_path, monkeypatch):
+        import os
+
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        train_cli.enter_run_dir(self._cfg([]))
+        cwd = os.getcwd()
+        assert cwd.startswith(str(tmp_path / "outputs"))

@@ -14,9 +14,12 @@ def param_count(params) -> int:
 class TestGenerator:
     def test_param_count_golden(self):
         # 925,646 params at defaults — matches the reference checkpoint
-        # (SURVEY.md §2.1; reference model.py:72-117).
+        # (SURVEY.md §2.1; reference model.py:72-117). eval_shape: the
+        # golden needs shapes only, no XLA compile.
         model = Generator(n_filters=64, n_layers=8)
-        params = model.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)))
+        params = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 24, 24, 3))
+        )
         assert param_count(params) == 925_646
 
     def test_output_shape_and_range(self):
@@ -47,16 +50,20 @@ class TestGenerator:
 class TestDiscriminator:
     def test_param_count_golden(self):
         # 4,684,033 params at defaults (SURVEY.md §2.1; model.py:139-193).
+        # eval_shape: shapes only, no XLA compile.
         model = Discriminator(n_filters=64)
-        params = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
+        params = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 96, 96, 3))
+        )
         assert param_count(params) == 4_684_033
 
     def test_patch_logits_16x(self):
         # 96x96 -> 6x6 single-channel logit map (SURVEY.md §2.1).
+        # Shape-contract test: eval_shape traces without compiling.
         model = Discriminator(n_filters=64)
         x = jnp.zeros((2, 96, 96, 3))
-        params = model.init(jax.random.key(0), x)
-        y = model.apply(params, x)
+        params = jax.eval_shape(model.init, jax.random.key(0), x)
+        y = jax.eval_shape(model.apply, params, x)
         assert y.shape == (2, 6, 6, 1)
 
     def test_odd_sizes_match_torch_conv_arithmetic(self):

@@ -38,6 +38,36 @@ from fast_srgan_tpu.utils import jax_cache
 # any backend initialization. It is enabled inside main() instead.
 
 
+def resolve_run_dir(config) -> str:
+    """Hydra-1.1 run-dir semantics (reference train.py:46,
+    version_base="1.1"; SURVEY.md §2.6): default `outputs/<date>/<time>/`,
+    `hydra.run.dir=DIR` overrides the destination, `hydra.run.dir=.` opts
+    out (stay in the launch cwd) — also what Hydra users pass for that."""
+    try:
+        run_dir = config["hydra"]["run"]["dir"]
+    except (KeyError, TypeError):
+        run_dir = None
+    if run_dir is None:
+        from datetime import datetime
+
+        now = datetime.now()
+        run_dir = f"outputs/{now:%Y-%m-%d}/{now:%H-%M-%S}"
+    return run_dir
+
+
+def enter_run_dir(config) -> None:
+    """chdir into the per-run output directory, so all relative paths
+    (runs/..., checkpoints) land inside it — the reference behaves this way
+    for every run (Hydra 1.1 auto-chdir)."""
+    run_dir = resolve_run_dir(config)
+    if run_dir != ".":
+        import os
+
+        os.makedirs(run_dir, exist_ok=True)
+        os.chdir(run_dir)
+        print(f"Working directory: {os.getcwd()}")
+
+
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     if any(a in ("-h", "--help") for a in argv):
@@ -45,19 +75,7 @@ def main(argv=None) -> None:
         return
     config = load_config("configs/config.yaml", overrides=argv)
 
-    # Hydra-1.1 parity: honor hydra.run.dir by chdir'ing into it, so all
-    # relative paths (runs/..., checkpoints) land inside the run dir — the
-    # reference behaves this way for every run (SURVEY.md §2.6). Unlike
-    # Hydra we do NOT chdir by default; pass the key to opt in.
-    try:
-        run_dir = config["hydra"]["run"]["dir"]
-    except (KeyError, TypeError):
-        run_dir = None
-    if run_dir:
-        import os
-
-        os.makedirs(run_dir, exist_ok=True)
-        os.chdir(run_dir)
+    enter_run_dir(config)
 
     # JAX_PLATFORMS=cpu (the CPU-mesh recipe: smoke/soak/multihost drills)
     # must beat sitecustomize's programmatic platform force-set, and must
