@@ -14,8 +14,10 @@ points the engine's policy actually uses for this frame size
 Batches 2..7 are deliberately absent: measured 200-320 ns/LR-px vs 59 at
 batch 8 (the XLA conv lowering wastes MXU sublanes — docs/DESIGN.md
 "Batch-size anatomy"), and batch 8 at 720x1280 LR exceeds HBM. v5e
-measured: 77 ms strict latency (13 fps), 30.6 ms/frame streaming
-(32.7 fps) — real-time 4K output per chip.
+measured (round 3): 42.5 ms single-frame DEVICE latency (the in-jit
+chain), 84.6 ms strict incl. tunnel RTT, 47.9 ms/frame batch-1 pipelined
+cadence, 29.9 ms/frame streaming at batch 8 (33.4 fps) — real-time 4K
+output per chip, and the <50 ms single-frame target met on-device.
 
 Usage: python scripts/bench_4k.py  [BENCH_FRAMES=64]
 """
