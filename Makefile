@@ -8,12 +8,15 @@ native:
 	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libfastsr_loader.so \
 	    csrc/fastsr_loader.cpp -lpthread
 
-# Full suite: the merge gate (~25 min on CPU, compile-dominated).
+# Full suite: the merge gate (compile-dominated; measured 2026-08-18 on
+# this single-core box: see test-quick for the per-commit tier).
 test:
 	python -m pytest tests/ -x -q
 
-# Per-commit gate: skips compile-heavy tests (~80 s on CPU; see
-# tests/conftest.py SLOW_NODE_PATTERNS).
+# Per-commit gate: 131 tests incl. the generator/discriminator/VGG
+# torch-parity oracles; skips compile-heavy multi-device/full-size
+# programs (tests/conftest.py SLOW_NODE_PATTERNS). Measured 2026-08-18:
+# 2 min 18 s on this box (1 CPU core).
 test-quick:
 	python -m pytest tests/ -x -q -m "not slow"
 

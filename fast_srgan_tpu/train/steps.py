@@ -177,20 +177,14 @@ def build_bundle(
     )
     vgg = VGG19Features(dtype=dtype)
 
-    rng = rng if rng is not None else jax.random.key(config.experiment.seed)
-    k_g, k_d, k_v = jax.random.split(rng, 3)
-    lr_size = config.data.lr_image_size
-    hr_size = lr_size * config.data.scale_factor
-    g_params = generator.init(k_g, jnp.zeros((1, lr_size, lr_size, 3)))
-    d_params = discriminator.init(k_d, jnp.zeros((1, hr_size, hr_size, 3)))
-
     # VGG weights: converted torchvision state_dict when provided, else a
     # fixed-seed init (see models/vgg.py docstring). A random-init VGG gives
     # a near-zero content loss, leaving only the adversarial term — measured
     # to collapse generator fidelity (32.6 -> 10.1 dB in 2000 GAN steps) —
     # so without real VGG weights the content term falls back to pixel-space
     # SmoothL1 (the pretrain objective), keeping the reference's 0.5/0.5
-    # loss structure anchored.
+    # loss structure anchored. Checked BEFORE the state inits: the config
+    # error must surface instantly, not after the G/D init compiles.
     vgg_path = config.training.vgg_weights
     if not vgg_path and config.training.iterations > 0:
         # The reference GAN phase is defined by its frozen ImageNet-VGG19
@@ -212,6 +206,14 @@ def build_bundle(
             "need no VGG."
         )
     has_vgg = bool(vgg_path) and vgg_path != "pixel"
+
+    rng = rng if rng is not None else jax.random.key(config.experiment.seed)
+    k_g, k_d, k_v = jax.random.split(rng, 3)
+    lr_size = config.data.lr_image_size
+    hr_size = lr_size * config.data.scale_factor
+    g_params = generator.init(k_g, jnp.zeros((1, lr_size, lr_size, 3)))
+    d_params = discriminator.init(k_d, jnp.zeros((1, hr_size, hr_size, 3)))
+
     if vgg_path == "init":
         # Sentinel: run the VGG-features content loss with the fixed-seed
         # init weights. The full reference loss *formulation* (and its

@@ -66,6 +66,7 @@ SLOW_NODE_PATTERNS = (
     "test_augment.py::TestAugmentMesh",
     "test_scale_factors.py::TestScaleFactors::test_2x_train_step",
     "test_vgg_parity.py::TestVGGParity::test_gan_step_uses_vgg_weights_file",
+    "test_vgg_parity.py::TestVGGParity::test_pretrain_only_needs_no_vgg",
     "test_kernels.py",
     "test_multihost.py",
     "test_fused_upsample.py",

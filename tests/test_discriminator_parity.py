@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -11,6 +12,27 @@ from fast_srgan_tpu.checkpoints.torch_compat import (
     discriminator_params_to_torch_state_dict,
 )
 from fast_srgan_tpu.models import Discriminator
+
+
+@pytest.fixture(scope="module")
+def disc8():
+    """Shared module fixture. Params are filled by numpy over the
+    eval_shape tree (no XLA compile — Discriminator.init alone costs ~20s
+    on CPU); the graph-parity contract holds for any weights, and 8
+    filters at 64x64 exercises every conv/stride/norm/slope in the
+    reference critic (model.py:120-193)."""
+    model = Discriminator(n_filters=8)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(1), jnp.zeros((1, 64, 64, 3))
+    )
+    rng = np.random.default_rng(3)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            0.1 * rng.standard_normal(s.shape).astype(s.dtype)
+        ),
+        shapes,
+    )
+    return model, params
 
 
 def torch_discriminator_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
@@ -28,12 +50,11 @@ def torch_discriminator_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
 
 
 class TestDiscriminatorParity:
-    def test_forward_matches_torch(self, rng):
-        model = Discriminator(n_filters=16)
-        params = model.init(jax.random.key(1), jnp.zeros((1, 96, 96, 3)))
+    def test_forward_matches_torch(self, disc8, rng):
+        model, params = disc8
         sd = discriminator_params_to_torch_state_dict(params)
 
-        x = rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+        x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
         ours = np.asarray(model.apply(params, jnp.asarray(x)))
         x_t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
         with torch.no_grad():
@@ -41,9 +62,8 @@ class TestDiscriminatorParity:
         theirs = theirs.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
 
-    def test_converter_roundtrip(self):
-        model = Discriminator(n_filters=8)
-        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    def test_converter_roundtrip(self, disc8):
+        _, params = disc8
         sd = discriminator_params_to_torch_state_dict(params)
         back = discriminator_params_from_torch_state_dict(sd)
         flat_a = jax.tree.leaves(params)

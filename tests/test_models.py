@@ -79,16 +79,19 @@ class TestDiscriminator:
 class TestVGG19:
     def test_feature_shape(self):
         # features[:34] => 512 channels at 1/16 resolution (model.py:8).
+        # Shape-contract test: eval_shape traces without compiling.
         model = VGG19Features()
         x = jnp.zeros((1, 96, 96, 3))
-        params = model.init(jax.random.key(0), x)
-        y = model.apply(params, x)
+        params = jax.eval_shape(model.init, jax.random.key(0), x)
+        y = jax.eval_shape(model.apply, params, x)
         assert y.shape == (1, 6, 6, 512)
 
     def test_conv_count(self):
         # 15 convs retained by features[:34]: 2+2+4+4+3 (cfg E truncated at
         # relu(conv5_3), torchvision index 33).
         model = VGG19Features()
-        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        params = jax.eval_shape(
+            model.init, jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+        )
         convs = [k for k in params["params"] if k.startswith("conv_")]
         assert len(convs) == 15

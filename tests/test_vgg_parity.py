@@ -30,8 +30,17 @@ from fast_srgan_tpu.models.vgg import (
 )
 
 
+_SD_CACHE = {}
+
+
 def synthetic_torch_vgg_sd(seed=0):
-    """Random torchvision-layout `features.{idx}.weight/bias` state_dict."""
+    """Random torchvision-layout `features.{idx}.weight/bias` state_dict.
+
+    Cached per seed and generated directly in float32: the ~20M-param
+    tree costs seconds per build on this box and three tests consume it.
+    Callers treat it as read-only."""
+    if seed in _SD_CACHE:
+        return _SD_CACHE[seed]
     rng = np.random.default_rng(seed)
     sd = {}
     idx, c_in = 0, 3
@@ -40,14 +49,15 @@ def synthetic_torch_vgg_sd(seed=0):
             idx += 1  # the pool layer occupies an index
             continue
         # conv at `idx`, relu at `idx+1`
-        sd[f"features.{idx}.weight"] = (
-            rng.standard_normal((item, c_in, 3, 3)) * np.sqrt(2.0 / (c_in * 9))
-        ).astype(np.float32)
+        sd[f"features.{idx}.weight"] = rng.standard_normal(
+            (item, c_in, 3, 3), dtype=np.float32
+        ) * np.float32(np.sqrt(2.0 / (c_in * 9)))
         sd[f"features.{idx}.bias"] = (
-            rng.standard_normal(item) * 0.01
-        ).astype(np.float32)
+            rng.standard_normal(item, dtype=np.float32) * np.float32(0.01)
+        )
         idx += 2
         c_in = item
+    _SD_CACHE[seed] = sd
     return sd
 
 
@@ -112,6 +122,13 @@ def make_torchvision_style_vgg19() -> torch.nn.Module:
     return TorchVisionStyleVGG()
 
 
+# one jitted apply shared by the parity cases (same shapes -> the second
+# test reuses the compiled executable instead of paying the 15-conv
+# compile again)
+_VGG = VGG19Features()
+_vgg_apply = jax.jit(_VGG.apply)
+
+
 class TestVGGParity:
     def test_real_torch_layout_state_dict_matches_features34_oracle(self, rng):
         """The converter's last key/layout risk, closed without egress:
@@ -127,9 +144,9 @@ class TestVGGParity:
         assert "classifier.weight" in sd  # ignored by the converter
 
         params = vgg19_params_from_torch_state_dict(sd)
-        x = rng.uniform(-1, 1, (2, 48, 48, 3)).astype(np.float32)
+        x = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
 
-        ours = np.asarray(VGG19Features().apply(params, jnp.asarray(x)))
+        ours = np.asarray(_vgg_apply(params, jnp.asarray(x)))
         with torch.no_grad():
             mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
             std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
@@ -138,7 +155,7 @@ class TestVGGParity:
             want = (
                 model.features[:34](normalized).permute(0, 2, 3, 1).numpy()
             )
-        assert ours.shape == want.shape == (2, 3, 3, 512)
+        assert ours.shape == want.shape == (1, 2, 2, 512)
         np.testing.assert_allclose(ours, want, atol=2e-4)
 
     def test_converted_weights_match_torch_graph(self, rng):
@@ -146,7 +163,7 @@ class TestVGGParity:
         params = vgg19_params_from_torch_state_dict(sd)
         x = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
 
-        ours = VGG19Features().apply(params, jnp.asarray(x))
+        ours = _vgg_apply(params, jnp.asarray(x))
         want = torch_vgg_forward(
             sd, torch.from_numpy(x.transpose(0, 3, 1, 2))
         ).permute(0, 2, 3, 1).numpy()
@@ -178,8 +195,20 @@ class TestVGGParity:
         )
         with pytest.raises(ValueError, match="vgg19-dcbb9e9d.pth"):
             build_bundle(config)
-        # pretrain-only runs need no VGG
-        config.training.iterations = 0
+
+    def test_pretrain_only_needs_no_vgg(self):
+        # success path split out: building the bundle inits real states
+        # (an XLA compile), so this lives in the slow tier while the
+        # fail-loud contract above stays in the per-commit gate.
+        from fast_srgan_tpu.config import default_config
+        from fast_srgan_tpu.train.steps import build_bundle
+
+        config = default_config(
+            data={"lr_image_size": 8},
+            generator={"n_filters": 8, "n_layers": 1},
+            discriminator={"n_filters": 8},
+            training={"bf16": False, "iterations": 0},
+        )
         build_bundle(config)
 
     def test_gan_step_uses_vgg_weights_file(self, tmp_path, rng):
