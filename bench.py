@@ -74,7 +74,16 @@ def run(batch_size: int, frames: int) -> float:
 
     from fast_srgan_tpu.inference import sr_forward_u8
 
-    @jax.jit
+    # Measured-tuned PJRT compiler options (scripts/xla_flag_sweep.py found
+    # scoped-VMEM 48 MiB worth +7.4% on v5e; table in docs/DESIGN.md).
+    # FASTSR_COMPILER_OPTIONS overrides (JSON object, or null to disable).
+    import functools as _ft
+
+    from fast_srgan_tpu.utils.xla_opts import tuned_compiler_options
+
+    copts = tuned_compiler_options()
+
+    @_ft.partial(jax.jit, compiler_options=copts)
     def forward_u8(p, x_u8):
         u8 = sr_forward_u8(apply_fn, p, x_u8)
         # int32 checksum: a 4-byte completion token per batch (see module
