@@ -46,7 +46,10 @@ def run(batch_size: int, frames: int) -> float:
     # Round the request up to whole batches — fps counts frames actually
     # processed, so frames and the numerator must agree.
     frames = ((frames + batch_size - 1) // batch_size) * batch_size
-    h, w = 180, 320
+    # Default: the reference's 720p protocol shape. BENCH_SHAPE=HxW selects
+    # its other benchmark shapes (90x160 -> 360p; metric label unchanged
+    # only for the default).
+    h, w = map(int, os.environ.get("BENCH_SHAPE", "180x320").split("x"))
 
     import jax
     import jax.numpy as jnp
@@ -201,11 +204,18 @@ def main() -> None:
             oom = "resource_exhausted" in msg or "out of memory" in msg
             if not oom or batch_size == candidates[-1]:
                 raise
+    shape = os.environ.get("BENCH_SHAPE", "180x320")
+    label = {"180x320": "720p", "90x160": "360p", "540x960": "4k"}.get(
+        shape, "x4"
+    )
+    # Per-shape reference numbers (reference README.md:10-18; 4K has none —
+    # vs_baseline is null there rather than a misleading cross-shape ratio).
+    ref_fps = {"180x320": REFERENCE_FPS, "90x160": 82.0}.get(shape)
     result = {
-        "metric": "fps_180x320_to_720p_800frames",
+        "metric": f"fps_{shape}_to_{label}_{frames}frames",
         "value": round(fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
     }
     print(json.dumps(result))
 
