@@ -24,6 +24,7 @@ Usage: python scripts/bench_4k.py  [BENCH_FRAMES=64]
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -42,6 +43,7 @@ import jax.numpy as jnp  # noqa: E402
 from __graft_entry__ import entry  # noqa: E402
 from fast_srgan_tpu.models import Generator  # noqa: E402
 from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail  # noqa: E402
+from fast_srgan_tpu.utils.xla_opts import tuned_compiler_options  # noqa: E402
 
 H = int(os.environ.get("BENCH_H", "540"))  # override for functional smokes
 W = int(os.environ.get("BENCH_W", "960"))
@@ -59,7 +61,9 @@ def main() -> None:
         out = jnp.clip((sr + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return out, jnp.sum(out.astype(jnp.int32))
 
-    forward = jax.jit(forward_body)
+    # Same tuned PJRT options as the engine/bench (utils/xla_opts.py).
+    copts = tuned_compiler_options()
+    forward = jax.jit(forward_body, compiler_options=copts)
 
     rng = np.random.default_rng(0)
 
@@ -93,7 +97,7 @@ def main() -> None:
     # lax.fori_loop would degrade conv layouts — the measured 33x hazard).
     CHAIN_K = 8
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=copts)
     def chained(params, x_u8):
         total = jnp.int32(0)
         for _ in range(CHAIN_K):
