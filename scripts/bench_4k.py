@@ -14,10 +14,11 @@ points the engine's policy actually uses for this frame size
 Batches 2..7 are deliberately absent: measured 200-320 ns/LR-px vs 59 at
 batch 8 (the XLA conv lowering wastes MXU sublanes — docs/DESIGN.md
 "Batch-size anatomy"), and batch 8 at 720x1280 LR exceeds HBM. v5e
-measured (round 3): 42.5 ms single-frame DEVICE latency (the in-jit
-chain), 84.6 ms strict incl. tunnel RTT, 47.9 ms/frame batch-1 pipelined
-cadence, 29.9 ms/frame streaming at batch 8 (33.4 fps) — real-time 4K
-output per chip, and the <50 ms single-frame target met on-device.
+measured (round 3, tuned 48 MiB scoped-VMEM default — utils/xla_opts.py):
+42.2 ms single-frame DEVICE latency (the in-jit chain), 75.8 ms strict
+incl. tunnel RTT, 48.2 ms/frame batch-1 pipelined cadence, 28.8 ms/frame
+streaming at batch 8 (34.7 fps) — real-time 4K output per chip, and the
+<50 ms single-frame target met on-device.
 
 Usage: python scripts/bench_4k.py  [BENCH_FRAMES=64]
 """
