@@ -37,6 +37,7 @@ TPU-first details:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -587,6 +588,18 @@ def build_bundle(
 
     # ---------------- jit with shardings ----------------
 
+    # The inference-side tuned 48 MiB scoped-VMEM budget (utils/xla_opts.py)
+    # is deliberately NOT applied here: a measured A/B on the training
+    # chains (docs/DESIGN.md, round 3) showed it HURTS every training
+    # program — GAN step at b24 regressed 7.5 -> 15.2 ms — so training
+    # compiles with XLA defaults. FASTSR_TRAIN_COMPILER_OPTIONS overrides
+    # for experiments.
+    import json as _json
+
+    copts = _json.loads(
+        os.environ.get("FASTSR_TRAIN_COMPILER_OPTIONS", "null")
+    )
+
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         batch_s = NamedSharding(
@@ -597,20 +610,26 @@ def build_bundle(
             in_shardings=(repl, batch_s),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
+            compiler_options=copts,
         )
         gan_step = jax.jit(
             _gan,
             in_shardings=(repl, repl, repl, batch_s, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
+            compiler_options=copts,
         )
         eval_step = jax.jit(
             _eval, in_shardings=(repl, batch_s, batch_s), out_shardings=repl
         )
         render_step = jax.jit(_render, in_shardings=(repl, repl))
     else:
-        pretrain_step = jax.jit(_pretrain, donate_argnums=(0,))
-        gan_step = jax.jit(_gan, donate_argnums=(0, 1))
+        pretrain_step = jax.jit(
+            _pretrain, donate_argnums=(0,), compiler_options=copts
+        )
+        gan_step = jax.jit(
+            _gan, donate_argnums=(0, 1), compiler_options=copts
+        )
         eval_step = jax.jit(_eval)
         render_step = jax.jit(_render)
 

@@ -39,7 +39,7 @@ def tuned_compiler_options(backend: str | None = None) -> dict | None:
     TPU-only — a CPU/GPU PJRT compiler would reject them).
     """
     env = os.environ.get("FASTSR_COMPILER_OPTIONS")
-    if env is not None:
+    if env is not None and env.strip():
         return json.loads(env)
     if backend is None:
         import jax

@@ -83,7 +83,7 @@ def main() -> None:
     print(json.dumps({
         "batch": batch,
         "hr_crop": hr,
-        "content_loss": "vgg" if vgg else "pixel",
+        "content_loss": "pixel" if vgg == "pixel" else "vgg",
         "variant": {
             "shared": shared, "remat_vgg": remat_vgg,
             "vgg_concat": vgg_concat, "accum": accum,
