@@ -13,10 +13,11 @@ native:
 test:
 	python -m pytest tests/ -x -q
 
-# Per-commit gate: 131 tests incl. the generator/discriminator/VGG
+# Per-commit gate: 137 tests incl. the generator/discriminator/VGG
 # torch-parity oracles; skips compile-heavy multi-device/full-size
-# programs (tests/conftest.py SLOW_NODE_PATTERNS). Measured 2026-08-18:
-# 2 min 18 s on this box (1 CPU core).
+# programs (tests/conftest.py SLOW_NODE_PATTERNS). Measured 2026-08-18,
+# three clean runs on this box (1 CPU core): 2m18s / 2m57s / 4m31s —
+# load-sensitive; budget ~3 min typical, 5 min worst-case.
 test-quick:
 	python -m pytest tests/ -x -q -m "not slow"
 
