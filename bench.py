@@ -41,15 +41,11 @@ import numpy as np
 REFERENCE_FPS = 27.0  # reference README.md:16-18 (180x320 -> 720p, M1 Pro)
 
 
-def run(batch_size: int, frames: int) -> float:
-    """One timed pass at a given batch size; returns sustained FPS."""
+def run(batch_size: int, frames: int, h: int, w: int) -> float:
+    """One timed pass at a given batch size/shape; returns sustained FPS."""
     # Round the request up to whole batches — fps counts frames actually
     # processed, so frames and the numerator must agree.
     frames = ((frames + batch_size - 1) // batch_size) * batch_size
-    # Default: the reference's 720p protocol shape. BENCH_SHAPE=HxW selects
-    # its other benchmark shapes (90x160 -> 360p; metric label unchanged
-    # only for the default).
-    h, w = map(int, os.environ.get("BENCH_SHAPE", "180x320").split("x"))
 
     import jax
     import jax.numpy as jnp
@@ -184,9 +180,15 @@ def main() -> None:
     honor_env_platforms()  # JAX_PLATFORMS env beats sitecustomize
     _require_backend()
     frames = int(os.environ.get("BENCH_FRAMES", "800"))
+    # Parsed ONCE here (run() takes h, w): the metric label below and the
+    # measured program must never diverge. Default is the reference's 720p
+    # protocol shape; BENCH_SHAPE=HxW selects its other benchmark shapes.
+    shape = os.environ.get("BENCH_SHAPE", "180x320")
+    h, w = map(int, shape.split("x"))
     # Batch 96 is the measured optimum on v5e (sweep in docs/DESIGN.md:
-    # 315 fps @16, 352 @64, 431 @96; 112 exhausts HBM). The fallback chain
-    # guards against a device with less free memory than measured.
+    # 315 fps @16, 352 @64, 431 @96; 112 exhausts HBM — re-confirmed under
+    # the tuned VMEM budget). The fallback chain guards against a device
+    # with less free memory than measured.
     requested = int(os.environ.get("BENCH_BATCH", "96"))
     candidates = list(
         dict.fromkeys(b for b in (requested, 64, 16) if b <= requested)
@@ -194,7 +196,7 @@ def main() -> None:
     fps = None
     for batch_size in candidates:
         try:
-            fps = run(batch_size, frames)
+            fps = run(batch_size, frames, h, w)
             break
         except Exception as e:
             # Only retry smaller on memory exhaustion; anything else (bad
@@ -204,7 +206,6 @@ def main() -> None:
             oom = "resource_exhausted" in msg or "out of memory" in msg
             if not oom or batch_size == candidates[-1]:
                 raise
-    shape = os.environ.get("BENCH_SHAPE", "180x320")
     label = {"180x320": "720p", "90x160": "360p", "540x960": "4k"}.get(
         shape, "x4"
     )

@@ -58,6 +58,12 @@ def defer_sigint():
     if threading.current_thread() is not threading.main_thread():
         yield
         return
+    if _defer_depth == 0 and signal.getsignal(signal.SIGINT) is signal.SIG_IGN:
+        # The process explicitly opted out of Ctrl-C (daemonized/nohup
+        # runs inherit SIG_IGN): deferral must not convert an ignored
+        # signal into a fatal KeyboardInterrupt.
+        yield
+        return
 
     def _record(signum, frame):
         global _pending_sigint
@@ -79,7 +85,15 @@ def defer_sigint():
                 fire = _pending_sigint
                 _pending_sigint = False
         if outermost and fire:
-            raise KeyboardInterrupt
+            # Deliver with the ORIGINAL disposition, not a hardcoded raise:
+            # Python's default handler raises KeyboardInterrupt (the normal
+            # trainer path); a custom handler runs as it would have; a
+            # SIG_DFL process gets the signal re-sent for OS-default
+            # handling now that the disposition is restored.
+            if callable(_prev_handler):
+                _prev_handler(signal.SIGINT, None)
+            else:
+                os.kill(os.getpid(), signal.SIGINT)
 
 
 class CheckpointIO:

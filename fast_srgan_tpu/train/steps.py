@@ -37,7 +37,6 @@ TPU-first details:
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -593,12 +592,11 @@ def build_bundle(
     # chains (docs/DESIGN.md, round 3) showed it HURTS every training
     # program — GAN step at b24 regressed 7.5 -> 15.2 ms — so training
     # compiles with XLA defaults. FASTSR_TRAIN_COMPILER_OPTIONS overrides
-    # for experiments.
-    import json as _json
+    # for experiments (same env contract as FASTSR_COMPILER_OPTIONS:
+    # unset/blank = default, `null` = explicitly none, else JSON object).
+    from fast_srgan_tpu.utils.xla_opts import env_json_options
 
-    copts = _json.loads(
-        os.environ.get("FASTSR_TRAIN_COMPILER_OPTIONS", "null")
-    )
+    _, copts = env_json_options("FASTSR_TRAIN_COMPILER_OPTIONS")
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())

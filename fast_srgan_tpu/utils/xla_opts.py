@@ -30,6 +30,20 @@ import os
 _TUNED_TPU = {"xla_tpu_scoped_vmem_limit_kib": "49152"}
 
 
+def env_json_options(name: str) -> tuple[bool, dict | None]:
+    """Parse a JSON compiler-options env knob: ``(present, value)``.
+
+    One contract for every FASTSR_*_COMPILER_OPTIONS variable: unset or
+    blank means "not set" (fall through to the caller's default — blank
+    is how shells 'unset' in one-liners, it must not be a parse error);
+    ``null`` means explicitly none; otherwise a JSON object.
+    """
+    raw = os.environ.get(name)
+    if raw is None or not raw.strip():
+        return False, None
+    return True, json.loads(raw)
+
+
 def tuned_compiler_options(backend: str | None = None) -> dict | None:
     """Compiler options for the SR forward on the current backend.
 
@@ -38,9 +52,9 @@ def tuned_compiler_options(backend: str | None = None) -> dict | None:
     tuning on TPU backends and None elsewhere (the option names are
     TPU-only — a CPU/GPU PJRT compiler would reject them).
     """
-    env = os.environ.get("FASTSR_COMPILER_OPTIONS")
-    if env is not None and env.strip():
-        return json.loads(env)
+    present, value = env_json_options("FASTSR_COMPILER_OPTIONS")
+    if present:
+        return value
     if backend is None:
         import jax
 

@@ -102,15 +102,19 @@ def main() -> None:
         results.append({"arm": name, "options": options, "best_fps": best,
                         "error": None if best is not None else err})
 
+    # base can be None (e.g. a tunnel outage during the baseline repeats):
+    # the completed arms' absolute numbers must still print, ratios become
+    # '--' rather than crashing after every arm already ran.
     base = next(r["best_fps"] for r in results if r["arm"] == "baseline")
     print(f"\n{'arm':<18} {'best fps':>9} {'vs baseline':>12}  options")
     for r in results:
         if r["best_fps"] is None:
             print(f"{r['arm']:<18} {'--':>9} {'--':>12}  {r['error']}")
         else:
+            vs = f"{r['best_fps'] / base:.3f}x" if base else "--"
             print(
                 f"{r['arm']:<18} {r['best_fps']:>9.2f} "
-                f"{r['best_fps'] / base:>11.3f}x  {r['options'] or '(none)'}"
+                f"{vs:>12}  {r['options'] or '(none)'}"
             )
     print(json.dumps({"frames": frames, "repeats": repeats,
                       "results": results}))

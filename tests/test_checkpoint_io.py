@@ -188,3 +188,44 @@ class TestDeferSigint:
             np.asarray(back["w"]), np.arange(1 << 14, dtype=np.float32)
         )
         io.close()
+
+    def test_sig_ign_processes_stay_uninterruptible(self):
+        # A daemonized/nohup'd run inherits SIGINT=SIG_IGN; deferral must
+        # not convert an ignored stray SIGINT into a fatal
+        # KeyboardInterrupt.
+        import os
+        import signal
+
+        from fast_srgan_tpu.checkpoints.orbax_io import defer_sigint
+
+        prev = signal.signal(signal.SIGINT, signal.SIG_IGN)
+        try:
+            with defer_sigint():
+                os.kill(os.getpid(), signal.SIGINT)  # ignored, as configured
+            # still ignored after the block
+            os.kill(os.getpid(), signal.SIGINT)
+        finally:
+            signal.signal(signal.SIGINT, prev)
+
+    def test_custom_handler_receives_deferred_signal(self):
+        # A process with its own SIGINT handler gets that handler invoked
+        # at block exit — not a hardcoded KeyboardInterrupt.
+        import os
+        import signal
+
+        from fast_srgan_tpu.checkpoints.orbax_io import defer_sigint
+
+        calls = []
+
+        def handler(signum, frame):
+            calls.append(signum)
+
+        prev = signal.signal(signal.SIGINT, handler)
+        try:
+            with defer_sigint():
+                os.kill(os.getpid(), signal.SIGINT)
+                assert calls == []  # deferred, not delivered inside
+            assert calls == [signal.SIGINT]  # delivered at exit
+            assert signal.getsignal(signal.SIGINT) is handler  # restored
+        finally:
+            signal.signal(signal.SIGINT, prev)

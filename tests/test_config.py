@@ -161,3 +161,86 @@ class TestRunDir:
         train_cli.enter_run_dir(self._cfg([]))
         cwd = os.getcwd()
         assert cwd.startswith(str(tmp_path / "outputs"))
+
+    def test_input_paths_anchor_to_launch_cwd(self, tmp_path, monkeypatch):
+        """Relative *input* paths (data dirs, weight files, an explicit
+        checkpoint_dir) must survive the Hydra-style chdir: they are
+        anchored to the launch cwd before entering the run dir. Output
+        paths (runs/...) stay relative — they belong inside the run dir."""
+        import os
+
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        cfg = self._cfg(
+            [
+                "training.vgg_weights=weights/vgg19.pth",
+                "training.checkpoint_dir=stable_ckpt",
+                "data.val_image_dir=val_hr",
+            ]
+        )
+        train_cli.enter_run_dir(cfg)
+        assert os.getcwd() != str(tmp_path)  # chdir happened
+        assert cfg.data.image_dir == str(tmp_path / "data" / "DIV2K")
+        assert cfg.data.numpy_dir == str(tmp_path / "data" / "div2k_np")
+        assert cfg.data.val_image_dir == str(tmp_path / "val_hr")
+        assert cfg.training.vgg_weights == str(tmp_path / "weights/vgg19.pth")
+        assert cfg.training.checkpoint_dir == str(tmp_path / "stable_ckpt")
+
+    def test_vgg_sentinels_and_absolute_paths_untouched(
+        self, tmp_path, monkeypatch
+    ):
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        cfg = self._cfg(
+            ["training.vgg_weights=init", "data.image_dir=/abs/div2k"]
+        )
+        train_cli.enter_run_dir(cfg)
+        assert cfg.training.vgg_weights == "init"
+        assert cfg.data.image_dir == "/abs/div2k"
+
+    def test_optout_leaves_paths_alone(self, tmp_path, monkeypatch):
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        cfg = self._cfg(["hydra.run.dir=."])
+        train_cli.enter_run_dir(cfg)
+        assert cfg.data.image_dir == "data/DIV2K"  # no chdir, no rewrite
+
+    def test_multihost_requires_explicit_run_dir(self, tmp_path, monkeypatch):
+        """Timestamped defaults diverge across hosts launched a second
+        apart; multihost must demand a shared explicit dir."""
+        import pytest as _pytest
+
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        cfg = self._cfg(["parallel.multihost=true"])
+        with _pytest.raises(SystemExit, match="hydra.run.dir"):
+            train_cli.enter_run_dir(cfg)
+        # explicit dir: fine
+        train_cli.enter_run_dir(
+            self._cfg(["parallel.multihost=true", f"hydra.run.dir={tmp_path}/m"])
+        )
+
+    def test_resume_warning_points_at_prior_runs(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        prior = tmp_path / "outputs/2026-01-01/00-00-00/runs/SRGAN/ckpt"
+        prior.mkdir(parents=True)
+        train_cli.enter_run_dir(self._cfg([]))
+        out = capsys.readouterr().out
+        assert "will NOT resume" in out and "2026-01-01" in out
+
+    def test_no_resume_warning_without_prior_runs(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        import train as train_cli
+
+        monkeypatch.chdir(tmp_path)
+        train_cli.enter_run_dir(self._cfg([]))
+        assert "will NOT resume" not in capsys.readouterr().out

@@ -52,3 +52,63 @@ class TestTunedCompilerOptions:
         a = tuned_compiler_options(backend="tpu")
         a["mutated"] = "1"
         assert "mutated" not in tuned_compiler_options(backend="tpu")
+
+    def test_env_blank_means_unset_not_crash(self, monkeypatch):
+        # `FASTSR_COMPILER_OPTIONS= python ...` (blank) is how shells
+        # "unset" in one-liners: it must fall through to the default,
+        # not be a JSON parse error.
+        monkeypatch.setenv("FASTSR_COMPILER_OPTIONS", "")
+        assert tuned_compiler_options(backend="tpu") == {
+            "xla_tpu_scoped_vmem_limit_kib": "49152"
+        }
+        monkeypatch.setenv("FASTSR_COMPILER_OPTIONS", "   ")
+        assert tuned_compiler_options(backend="cpu") is None
+
+
+class TestEnvJsonOptions:
+    """One env contract for every FASTSR_*_COMPILER_OPTIONS knob
+    (utils/xla_opts.env_json_options): unset/blank -> not present,
+    'null' -> explicitly none, else a JSON object."""
+
+    def test_unset_and_blank(self, monkeypatch):
+        from fast_srgan_tpu.utils.xla_opts import env_json_options
+
+        monkeypatch.delenv("FASTSR_TRAIN_COMPILER_OPTIONS", raising=False)
+        assert env_json_options("FASTSR_TRAIN_COMPILER_OPTIONS") == (
+            False,
+            None,
+        )
+        monkeypatch.setenv("FASTSR_TRAIN_COMPILER_OPTIONS", "")
+        assert env_json_options("FASTSR_TRAIN_COMPILER_OPTIONS") == (
+            False,
+            None,
+        )
+
+    def test_null_and_object(self, monkeypatch):
+        from fast_srgan_tpu.utils.xla_opts import env_json_options
+
+        monkeypatch.setenv("FASTSR_TRAIN_COMPILER_OPTIONS", "null")
+        assert env_json_options("FASTSR_TRAIN_COMPILER_OPTIONS") == (
+            True,
+            None,
+        )
+        monkeypatch.setenv("FASTSR_TRAIN_COMPILER_OPTIONS", '{"a": "1"}')
+        assert env_json_options("FASTSR_TRAIN_COMPILER_OPTIONS") == (
+            True,
+            {"a": "1"},
+        )
+
+    def test_blank_train_options_do_not_break_build_bundle(self, monkeypatch):
+        # End-to-end: the training-side consumer must treat blank as unset.
+        from fast_srgan_tpu.config import default_config
+        from fast_srgan_tpu.train.steps import build_bundle
+
+        monkeypatch.setenv("FASTSR_TRAIN_COMPILER_OPTIONS", "")
+        config = default_config(
+            data={"lr_image_size": 8},
+            generator={"n_filters": 4, "n_layers": 1},
+            discriminator={"n_filters": 4},
+            training={"vgg_weights": "pixel", "iterations": 0},
+        )
+        bundle, g_state, d_state, vgg_params = build_bundle(config)
+        assert bundle is not None

@@ -43,10 +43,7 @@ def resolve_run_dir(config) -> str:
     version_base="1.1"; SURVEY.md §2.6): default `outputs/<date>/<time>/`,
     `hydra.run.dir=DIR` overrides the destination, `hydra.run.dir=.` opts
     out (stay in the launch cwd) — also what Hydra users pass for that."""
-    try:
-        run_dir = config["hydra"]["run"]["dir"]
-    except (KeyError, TypeError):
-        run_dir = None
+    run_dir = explicit_run_dir(config)
     if run_dir is None:
         from datetime import datetime
 
@@ -55,14 +52,98 @@ def resolve_run_dir(config) -> str:
     return run_dir
 
 
+def explicit_run_dir(config):
+    """The user-passed hydra.run.dir, or None when defaulted."""
+    try:
+        return config["hydra"]["run"]["dir"]
+    except (KeyError, TypeError):
+        return None
+
+
+# Config keys naming *inputs* the user supplies (data, weights, an explicit
+# checkpoint dir to resume from). These are anchored to the launch cwd
+# before the Hydra-style chdir — real Hydra leaves this to the user via
+# hydra.utils.to_absolute_path; the reference never calls it, so its
+# relative data paths break under the per-run dir. Here the CLI does it
+# for the known input keys so the shipped relative defaults (and a stable
+# relative training.checkpoint_dir, which makes auto-resume work across
+# per-run dirs) keep working. Output paths (runs/..., the defaulted
+# checkpoint dir) intentionally stay relative — they belong inside the
+# run dir.
+_INPUT_PATH_KEYS = (
+    ("data", "image_dir"),
+    ("data", "numpy_dir"),
+    ("data", "val_image_dir"),
+    ("data", "val_numpy_dir"),
+    ("training", "vgg_weights"),  # "pixel"/"init" sentinels excluded below
+    ("training", "init_generator_pt"),
+    ("training", "init_generator_optim_pt"),
+    ("training", "checkpoint_dir"),
+)
+_VGG_SENTINELS = ("pixel", "init")
+
+
+def _absolutize_input_paths(config, base: str) -> None:
+    import os
+
+    for section, key in _INPUT_PATH_KEYS:
+        value = config[section].get(key)
+        if not value or not isinstance(value, str):
+            continue
+        if key == "vgg_weights" and value in _VGG_SENTINELS:
+            continue
+        if not os.path.isabs(value):
+            config[section][key] = os.path.join(base, value)
+
+
+def _warn_if_resume_has_prior_runs(config) -> None:
+    """training.resume=true defaults on, but a fresh per-run dir has
+    nothing to resume — if earlier runs of this experiment exist under
+    outputs/, say so loudly instead of silently restarting from step 0."""
+    import glob
+    import os
+
+    if not config.training.get("resume", False):
+        return
+    if config.training.get("checkpoint_dir"):
+        return  # stable (absolutized) checkpoint dir: resume works as-is
+    pattern = os.path.join(
+        "outputs", "*", "*", "runs", config.experiment.name, "ckpt"
+    )
+    prior = sorted(glob.glob(pattern))
+    if prior:
+        # point at the RUN dir (what hydra.run.dir takes), not its
+        # runs/<name>/ckpt subpath
+        latest_run = os.sep.join(prior[-1].split(os.sep)[:3])
+        print(
+            f"NOTE: training.resume=true, but this launch created a fresh "
+            f"run dir — it will NOT resume the {len(prior)} earlier "
+            f"run(s) found under outputs/. To continue the latest, pass "
+            f"hydra.run.dir={latest_run} (or use a stable "
+            f"training.checkpoint_dir)."
+        )
+
+
 def enter_run_dir(config) -> None:
     """chdir into the per-run output directory, so all relative paths
     (runs/..., checkpoints) land inside it — the reference behaves this way
-    for every run (Hydra 1.1 auto-chdir)."""
+    for every run (Hydra 1.1 auto-chdir). Input paths are re-anchored to
+    the launch cwd first (see _INPUT_PATH_KEYS)."""
+    if config.parallel.get("multihost") and explicit_run_dir(config) is None:
+        # Each host computes the timestamped default independently —
+        # processes launched across a second boundary would chdir into
+        # DIFFERENT run dirs and the run's artifacts would splinter.
+        raise SystemExit(
+            "multihost runs need an explicit shared run directory: pass "
+            "hydra.run.dir=<dir> (or hydra.run.dir=. to stay in the "
+            "launch cwd)"
+        )
     run_dir = resolve_run_dir(config)
     if run_dir != ".":
         import os
 
+        _warn_if_resume_has_prior_runs(config)
+        _absolutize_input_paths(config, os.getcwd())
         os.makedirs(run_dir, exist_ok=True)
         os.chdir(run_dir)
         print(f"Working directory: {os.getcwd()}")
@@ -73,7 +154,15 @@ def main(argv=None) -> None:
     if any(a in ("-h", "--help") for a in argv):
         print(__doc__)
         return
-    config = load_config("configs/config.yaml", overrides=argv)
+    # Anchor the bundled config to this file, not the cwd: launching from
+    # another directory must not silently fall back to pure defaults
+    # (load_config is lenient about a missing default path).
+    import os as _os
+
+    bundled = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "configs", "config.yaml"
+    )
+    config = load_config(bundled, overrides=argv)
 
     enter_run_dir(config)
 
