@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Measure the HTTP serving layer end-to-end: concurrent clients, one chip.
+
+The serving stack (serve.py / fast_srgan_tpu/serving.py) so far had
+functional tests but no measured number. This benchmark starts the real
+server in-process on an ephemeral port, fires CONCURRENCY client threads
+each posting REQUESTS PNG-encoded LR frames, and reports:
+
+  * end-to-end request latency (p50/p90/p99) — PNG decode, micro-batch
+    wait, device forward, PNG encode, HTTP both ways;
+  * sustained requests/s across the load phase;
+  * micro-batch fill (requests per device batch) from /stats — the
+    mechanism that makes concurrent serving cheap on TPU.
+
+Protocol notes for THIS environment (see docs/DESIGN.md "Benchmarking
+through the development tunnel"): the host is a single CPU core — PNG
+codec work for all clients shares that core — and every device dispatch
+crosses the dev tunnel (~25-30 ms RTT), which a real deployment's local
+PCIe link would not pay. The numbers below are therefore a conservative
+floor for the serving layer itself; the device-side forward at these
+shapes is the minority cost (bench.py measures it in isolation).
+
+Usage:
+  python scripts/bench_serve.py            # TPU (or current backend)
+  CONCURRENCY=16 REQUESTS=8 SHAPE=180x320 MAX_BATCH=8 python scripts/bench_serve.py
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fast_srgan_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
+
+
+def main() -> None:
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from fast_srgan_tpu.inference import SRInferenceEngine, arch_from_params
+    from fast_srgan_tpu.serving import make_server
+    from infer import load_generator_params, resolve_default_checkpoint
+
+    concurrency = int(os.environ.get("CONCURRENCY", "16"))
+    n_requests = int(os.environ.get("REQUESTS", "8"))  # per client
+    h, w = map(int, os.environ.get("SHAPE", "180x320").split("x"))
+    max_batch = int(os.environ.get("MAX_BATCH", "8"))
+    max_wait_ms = float(os.environ.get("MAX_WAIT_MS", "5"))
+
+    params = load_generator_params(resolve_default_checkpoint())
+    arch = arch_from_params(params)
+    engine = SRInferenceEngine(
+        params,
+        n_filters=arch["n_filters"],
+        n_layers=arch["n_layers"],
+        scale_factor=arch["scale_factor"],
+        dtype=jnp.bfloat16,
+        bucket=32,
+    )
+    server = make_server(
+        engine, port=0, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    # One deterministic LR frame, PNG-encoded once; every request posts
+    # the same bytes (the server decodes per request — that cost is real).
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(frame).save(buf, format="PNG")
+    body = buf.getvalue()
+    url = f"http://127.0.0.1:{port}/upscale"
+
+    def post() -> bytes:
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/octet-stream"}
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.read()
+
+    # Warmup: compile the bucket shape and verify the output decodes.
+    out = Image.open(io.BytesIO(post()))
+    assert out.size == (4 * w, 4 * h), out.size
+
+    lat_lock = threading.Lock()
+    latencies: list = []
+    errors: list = []
+
+    def client() -> None:
+        for _ in range(n_requests):
+            t0 = time.perf_counter()
+            try:
+                post()
+            except Exception as e:  # noqa: BLE001 — record, don't crash the load
+                with lat_lock:
+                    errors.append(repr(e))
+                continue
+            dt = time.perf_counter() - t0
+            with lat_lock:
+                latencies.append(dt)
+
+    stats0 = json.loads(
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=60
+        ).read()
+    )
+    threads = [threading.Thread(target=client) for _ in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t0
+    stats1 = json.loads(
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=60
+        ).read()
+    )
+    server.shutdown()
+    server.batcher.close()
+
+    total = len(latencies)
+    lat_ms = np.sort(np.asarray(latencies)) * 1e3
+    d_req = stats1["requests"] - stats0["requests"]
+    d_batches = max(1, stats1["batches"] - stats0["batches"])
+    result = {
+        "metric": f"serve_rps_{h}x{w}_c{concurrency}",
+        "value": round(total / elapsed, 2),
+        "unit": "req/s",
+        "p50_ms": round(float(lat_ms[total // 2]), 1),
+        "p90_ms": round(float(lat_ms[int(total * 0.9)]), 1),
+        "p99_ms": round(float(lat_ms[min(total - 1, int(total * 0.99))]), 1),
+        "batch_fill": round(d_req / d_batches, 2),
+        "max_batch": max_batch,
+        "requests": total,
+        "errors": len(errors),
+    }
+    print(json.dumps(result))
+    if errors:
+        print(f"# first error: {errors[0]}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
