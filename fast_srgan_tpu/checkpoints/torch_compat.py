@@ -461,7 +461,16 @@ def _optimizer_to_torch(opt_state, params_to_sd, order, lr):
     param_groups = [{
         "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0.01,
         "amsgrad": False, "maximize": False, "foreach": None,
-        "capturable": False, "differentiable": False, "fused": True,
+        # fused=None, NOT the reference's fused=True
+        # (/root/reference/trainer.py:33-37): torch's load_state_dict adopts
+        # the checkpoint's param_groups, so exporting True would force the
+        # fused kernel on whatever box resumes this file — raising where it
+        # is unsupported (MPS, older CPU backends). fused is an
+        # implementation choice with identical step math; None (the
+        # constructor default) lets torch pick per-device, and a reference
+        # trainer resuming this checkpoint merely falls back to the
+        # foreach/single-tensor path instead of crashing.
+        "capturable": False, "differentiable": False, "fused": None,
         "params": list(range(len(order))),
     }]
     return {"state": state, "param_groups": param_groups}

@@ -268,7 +268,17 @@ class SRInferenceEngine:
         if b == 0:
             s = self.SCALE
             return np.empty((0, h * s, w * s, 3), np.uint8)
-        eff = self.effective_batch_size(h, w, b)
+        # The compiled program runs at the bucket-padded dims, so the batch
+        # policy (pixel budget, 2..7 avoidance) must be computed from them —
+        # otherwise a just-over-bucket frame (e.g. 520x920 -> 1024x1024) gets
+        # a batch sized for the smaller unpadded area, overshooting the HBM
+        # budget, and compiles a different batch size than _grouped_upscale
+        # picks for the identical bucket shape.
+        if self.bucket:
+            ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
+        else:
+            ph, pw = h, w
+        eff = self.effective_batch_size(ph, pw, b)
         if b != eff:
             if b < eff:  # pad 2..7 up to the compiled batch (8 per device)
                 pad = eff - b
@@ -287,7 +297,6 @@ class SRInferenceEngine:
             # for every bucket shape, and a second unmasked compile of the
             # same shape would cost another 20-240s through the TPU tunnel
             # (and disagree in the last uint8 bit across the two APIs).
-            ph, pw = _round_up(h, self.bucket), _round_up(w, self.bucket)
             if (ph, pw) != (h, w):
                 batch_u8 = np.pad(
                     batch_u8, ((0, 0), (0, ph - h), (0, pw - w), (0, 0))

@@ -219,6 +219,13 @@ class Trainer:
         # with the batch), so the replicated scalar outputs are correct on
         # any mesh, including multi-host where per-image vectors would not
         # be addressable from one process.
+        # Device scalars are accumulated un-fetched: a float() here would
+        # force a host sync per batch, serializing crop/stack (host) with
+        # eval_step (device). Deferring the fetch to one conversion after
+        # the loop lets JAX's async dispatch overlap the next batch's host
+        # decode with the in-flight device pass; the pending values are
+        # three fp32 scalars per batch, so memory stays trivial.
+        pending = []
         for batch in val_sampler.sequential_batches(
             batch_size, seed=self.config.experiment.seed, drop_last=False
         ):
@@ -228,9 +235,12 @@ class Trainer:
                 pad = batch_size - valid
                 batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
                 mask[valid:] = 0.0
-            b_sse, b_ssim, b_count = self.bundle.eval_step(
-                self._eval_params(), self._put(batch), self._put(mask)
+            pending.append(
+                self.bundle.eval_step(
+                    self._eval_params(), self._put(batch), self._put(mask)
+                )
             )
+        for b_sse, b_ssim, b_count in pending:
             sse += float(b_sse)
             ssim_sum += float(b_ssim)
             count = float(b_count)

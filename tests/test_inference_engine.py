@@ -40,6 +40,33 @@ class TestUpscaleBatch:
         out = engine.upscale_batch(batch)
         assert out.shape == (1, 48, 80, 3)  # cropped back to 4x input
 
+    def test_bucket_batch_policy_uses_padded_dims(self, rng):
+        # The program runs at the bucket-padded dims, so the pixel budget
+        # must be applied to those — not the raw frame dims. 8x8 frames pad
+        # to 16x16; a budget of 512 px admits eight 8x8 frames but only two
+        # 16x16 ones (2..7 avoidance then drops to 1). Regression: the
+        # unpadded dims allowed batch 8 -> 4096 px per program, 8x over
+        # budget (the HBM-overshoot path on real frames just over a bucket
+        # boundary), and disagreed with _grouped_upscale's choice for the
+        # identical bucket shape.
+        engine = make_engine(rng, bucket=16)
+        engine.pixel_budget = 8 * 8 * 8
+        calls = []
+        orig = engine._forward_u8_masked
+
+        def spy(params, batch, hs, ws):
+            calls.append(tuple(batch.shape))
+            return orig(params, batch, hs, ws)
+
+        engine._forward_u8_masked = spy
+        batch = rng.integers(0, 256, (8, 8, 8, 3), dtype=np.uint8)
+        out = engine.upscale_batch(batch)
+        assert out.shape == (8, 32, 32, 3)
+        assert calls == [(1, 16, 16, 3)] * 8
+        # and the policy agrees with what _grouped_upscale computes for the
+        # same bucket shape (one shared compiled program across both APIs)
+        assert engine.effective_batch_size(16, 16, 8) == 1
+
 
 class TestUpscaleImages:
     def test_mixed_shapes_preserve_order(self, rng):

@@ -69,6 +69,14 @@ class TestGeneratorOptimizerInterop:
         }
         opt.load_state_dict(sd_t)  # must not raise
         assert float(opt.state_dict()["state"][0]["step"]) == 2.0
+        # The export must not pin an implementation choice: torch adopts the
+        # checkpoint's param_groups verbatim on load, and fused=True would
+        # force the fused kernel on backends that lack it. fused=None lets
+        # torch pick per-device — and the adopted group must actually step.
+        assert opt.param_groups[0]["fused"] is None
+        for p in torch_params:
+            p.grad = torch.full_like(p, 1e-3)
+        opt.step()  # must not raise on a backend without the fused kernel
 
 
 class TestDiscriminatorOptimizerInterop:
