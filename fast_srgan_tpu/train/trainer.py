@@ -219,13 +219,26 @@ class Trainer:
         # with the batch), so the replicated scalar outputs are correct on
         # any mesh, including multi-host where per-image vectors would not
         # be addressable from one process.
-        # Device scalars are accumulated un-fetched: a float() here would
-        # force a host sync per batch, serializing crop/stack (host) with
-        # eval_step (device). Deferring the fetch to one conversion after
-        # the loop lets JAX's async dispatch overlap the next batch's host
-        # decode with the in-flight device pass; the pending values are
-        # three fp32 scalars per batch, so memory stays trivial.
-        pending = []
+        # Device scalars are fetched with a lag of one dispatch: a float()
+        # right after eval_step would force a host sync per batch,
+        # serializing crop/stack (host) with eval_step (device), while
+        # deferring ALL fetches to after the loop would leave every batch's
+        # input buffer (batch x HR^2 x 3 — ~42 MB at batch 96 / 384px crops)
+        # queued in HBM at once, unbounded in the validation-set size. One
+        # in-flight entry keeps the host/device overlap and caps the
+        # resident footprint at two batches — the same discipline as
+        # inference.py's _grouped_upscale/stream pipelines.
+        pending: list = []
+
+        def _drain() -> None:
+            nonlocal sse, ssim_sum, n, images
+            b_sse, b_ssim, b_count = pending.pop(0)
+            sse += float(b_sse)
+            ssim_sum += float(b_ssim)
+            count = float(b_count)
+            n += per_image_n * count
+            images += count
+
         for batch in val_sampler.sequential_batches(
             batch_size, seed=self.config.experiment.seed, drop_last=False
         ):
@@ -240,12 +253,10 @@ class Trainer:
                     self._eval_params(), self._put(batch), self._put(mask)
                 )
             )
-        for b_sse, b_ssim, b_count in pending:
-            sse += float(b_sse)
-            ssim_sum += float(b_ssim)
-            count = float(b_count)
-            n += per_image_n * count
-            images += count
+            if len(pending) > 1:
+                _drain()
+        while pending:
+            _drain()
         psnr = psnr_from_accumulator(sse, n)
         ssim = ssim_sum / max(images, 1)
         self.writer.scalar(f"{phase}/PSNR", psnr, step)
