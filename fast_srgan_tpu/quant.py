@@ -1,0 +1,364 @@
+"""Int8 post-training-quantized inference tier.
+
+Motivation (measured, scripts/int8_probe.py on v5e): the bf16 720p forward
+sits at the roofline ridge — arithmetic intensity ~237 flop/byte vs machine
+balance ~240 (docs/DESIGN.md "Roofline at the operating point") — so neither
+more FLOPs nor more bandwidth alone helps. int8 halves *both* roofs: the MXU
+runs int8 at ~2x the bf16 rate and the activations move half the bytes. The
+probe at the generator's body shape (96x180x320x64, 3x3 convs, NHWC)
+measured **1.90x** over bf16 with the full requantize epilogue (rescale,
+round, clip, cast) fused in for free.
+
+Scheme — standard static PTQ, shaped to this network:
+
+  * Every conv runs int8 x int8 -> int32 on the MXU: weights quantized
+    per-output-channel symmetric (exact zero stays zero — the LR-tail's
+    block-sparse phase/dense kernels scatter int8 values into int8 zeros),
+    activations quantized per-tensor with **calibrated static scales**
+    (:func:`calibrate_scales` runs the float forward over sample batches
+    and records per-conv-input max-abs).
+  * Everything between convs stays float: instance norm (fp32 statistics,
+    torch semantics — reference model.py:43-69 uses parameterless
+    InstanceNorm2d), PReLU, pixel shuffle, tanh. These are
+    bandwidth-cheap elementwise/stat ops that XLA fuses into the conv
+    epilogues; `glue_dtype` (bf16 default) sets their storage dtype while
+    all quantize/dequantize arithmetic stays fp32.
+  * The upsampling tail is the LR-domain phase decomposition
+    (ops/lr_tail.py) with int8 kernels: the phase-kernel builders are
+    dtype-generic, so the quantized 3x3 kernels scatter directly and the
+    per-output-channel dequant scales map through the same channel packing
+    as the biases (repeat(16)/repeat(4) for the dense head).
+
+The float mode of the same code path (:func:`sr_float_forward`) is the
+calibration instrument AND the topology oracle: tests assert it matches
+``Generator.apply`` + ``generator_apply_lr_tail`` to float tolerance, so
+the quantized graph provably mirrors the real one.
+
+Accuracy is a measured contract, not an assumption: tests/test_quant.py
+bounds PSNR(int8, fp32) with the shipped pretrained weights, and
+scripts/eval_int8.py reports the fidelity/speed trade on chip. The tier is
+inference-only and opt-in (``SRInferenceEngine(quantize=True)``,
+``infer.py --int8``); training and checkpoints stay fp32 (the reference's
+numerics, /root/reference/trainer.py, are never quantized).
+
+Not supported in this tier (falls back to bf16): the masked/bucketed exact
+forward (valid_hw) — per-sample masked int8 statistics are possible but not
+yet built — and the Pallas stem.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fast_srgan_tpu.ops.lr_tail import (
+    _head_kernel_2x,
+    _head_kernel_4x,
+    _phase_kernels_2x,
+)
+from fast_srgan_tpu.ops.norm import instance_norm_nhwc
+from fast_srgan_tpu.ops.pixel_shuffle import pixel_shuffle_nhwc
+
+_DN = ("NHWC", "HWIO", "NHWC")
+PAD1 = ((1, 1), (1, 1))
+
+
+# -- weight quantization ------------------------------------------------------
+
+
+def _quantize_kernel(k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[kh,kw,ci,co] fp32 -> (int8 kernel, fp32 dequant scale [co]).
+
+    Symmetric per-output-channel: q = round(k / s), s = maxabs_co / 127.
+    """
+    k = jnp.asarray(k, jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_generator_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Generator param tree -> quantized tree (same topology).
+
+    Each conv leaf ``{"kernel": f32, ["bias": f32]}`` becomes
+    ``{"qkernel": int8, "wscale": f32[co], ["bias": f32]}``; PReLU alphas
+    pass through unchanged. Accepts the tree with or without the flax
+    ``{"params": ...}`` wrapper and returns the bare tree.
+    """
+    p = params["params"] if "params" in params else params
+    out: Dict[str, Any] = {}
+    for name, sub in p.items():
+        if name in ("neck_relu",) or str(name).endswith("relu"):
+            out[name] = sub
+            continue
+        if "kernel" in sub:  # neck_conv, bottleneck_conv, head_conv
+            q, s = _quantize_kernel(sub["kernel"])
+            leaf = {"qkernel": q, "wscale": s}
+            if "bias" in sub:
+                leaf["bias"] = jnp.asarray(sub["bias"], jnp.float32)
+            out[name] = leaf
+            continue
+        # stem_i / upsampling_i: nested conv + relu
+        qsub: Dict[str, Any] = {}
+        for k2, leaf2 in sub.items():
+            if "kernel" in leaf2:
+                q, s = _quantize_kernel(leaf2["kernel"])
+                ql = {"qkernel": q, "wscale": s}
+                if "bias" in leaf2:
+                    ql["bias"] = jnp.asarray(leaf2["bias"], jnp.float32)
+                qsub[k2] = ql
+            else:
+                qsub[k2] = leaf2  # relu alphas
+        out[name] = qsub
+    return out
+
+
+# -- the unified forward ------------------------------------------------------
+#
+# One topology, three uses: float calibration (records per-conv-input
+# max-abs), float oracle (must equal the canonical Generator+lr_tail), and
+# the int8 serving path. The conv executor below dispatches on the leaf
+# form ("kernel" = float, "qkernel" = int8).
+
+
+def _quantize_act(x, scale):
+    xf = x.astype(jnp.float32)
+    return jnp.clip(jnp.round(xf * (127.0 / scale)), -127, 127).astype(
+        jnp.int8
+    )
+
+
+class _Exec:
+    """Conv executor: float (optionally collecting calibration stats) or
+    int8, chosen by the kernel leaf's form."""
+
+    def __init__(self, scales, collect, glue_dtype):
+        self.scales = scales
+        self.collect = collect
+        self.glue = glue_dtype
+
+    def observe(self, name, x):
+        if self.collect is not None:
+            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            prev = self.collect.get(name)
+            self.collect[name] = m if prev is None else jnp.maximum(prev, m)
+
+    def qin(self, name, x):
+        """Quantize a conv input once (shared by the phase convs)."""
+        self.observe(name, x)
+        return _quantize_act(x, self.scales[name])
+
+    def conv_q(self, xq, name, qkernel, wscale, padding):
+        y = lax.conv_general_dilated(
+            xq, qkernel, (1, 1), padding, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
+        s = self.scales[name]
+        return (
+            y.astype(jnp.float32) * (wscale * (s / 127.0))
+        ).astype(self.glue)
+
+    def conv(self, x, name, leaf, padding, kernel_tf=None, wscale_tf=None):
+        """One conv from a param leaf; kernel_tf rearranges the kernel
+        (phase/dense scatter), wscale_tf maps the per-out-channel scales
+        through the same output packing."""
+        if "qkernel" in leaf:
+            k = leaf["qkernel"]
+            if kernel_tf is not None:
+                k = kernel_tf(k)
+            ws = leaf["wscale"]
+            if wscale_tf is not None:
+                ws = wscale_tf(ws)
+            return self.conv_q(self.qin(name, x), name, k, ws, padding)
+        self.observe(name, x)
+        k = leaf["kernel"].astype(jnp.float32)
+        if kernel_tf is not None:
+            k = kernel_tf(k)
+        return lax.conv_general_dilated(
+            x, k, (1, 1), padding, dimension_numbers=_DN
+        ).astype(self.glue)
+
+
+def _prelu(x, alpha, dtype):
+    a = alpha.astype(dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+def _trunk(p, ex, x):
+    dt = ex.glue
+    r = ex.conv(x, "neck", p["neck_conv"], PAD1)
+    r = r + p["neck_conv"]["bias"].astype(dt)
+    r = _prelu(r, p["neck_relu"]["alpha"], dt)
+
+    n_layers = sum(1 for k in p if str(k).startswith("stem_"))
+    y = r
+    for i in range(n_layers):
+        blk = p[f"stem_{i}"]
+        h = ex.conv(y, f"stem_{i}_c1", blk["conv1"], PAD1)
+        h = instance_norm_nhwc(h).astype(dt)
+        h = _prelu(h, blk["relu1"]["alpha"], dt)
+        h = ex.conv(h, f"stem_{i}_c2", blk["conv2"], PAD1)
+        h = instance_norm_nhwc(h).astype(dt)
+        y = y + h
+
+    b = ex.conv(y, "bottleneck", p["bottleneck_conv"], PAD1)
+    b = instance_norm_nhwc(b).astype(dt)
+    return b + r
+
+
+def _stage_conv(p, ex, x, name, leaf):
+    """One upsample-stage conv at LR: conv + bias + PReLU (pre-shuffle)."""
+    dt = ex.glue
+    a = ex.conv(x, name, leaf["conv"], PAD1)
+    a = a + leaf["conv"]["bias"].astype(dt)
+    return _prelu(a, leaf["relu"]["alpha"], dt)
+
+
+def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
+             n0="up0", n1="up1"):
+    """The 4x LR-domain tail (ops/lr_tail.py transform), executor-driven."""
+    dt = ex.glue
+    a1 = _stage_conv(p, ex, y, n0, p[up0])  # [B,H,W,4F]
+
+    # Stage 2: four per-phase conv2x2s sharing one input quantization.
+    leaf = p[up1]["conv"]
+    if "qkernel" in leaf:
+        a1q = ex.qin(n1, a1)
+        phases = [
+            ex.conv_q(a1q, n1, kp, leaf["wscale"], ((1 - pp, pp), (1 - q, q)))
+            for (pp, q), kp in _phase_kernels_2x(leaf["qkernel"]).items()
+        ]
+    else:
+        ex.observe(n1, a1)
+        phases = [
+            lax.conv_general_dilated(
+                a1, kp.astype(jnp.float32), (1, 1),
+                ((1 - pp, pp), (1 - q, q)), dimension_numbers=_DN,
+            ).astype(dt)
+            for (pp, q), kp in _phase_kernels_2x(
+                leaf["kernel"].astype(jnp.float32)
+            ).items()
+        ]
+    b2 = leaf["bias"].astype(dt)
+    a2 = jnp.concatenate([ph + b2 for ph in phases], axis=-1)
+    a2 = _prelu(a2, p[up1]["relu"]["alpha"], dt)
+
+    z = ex.conv(
+        a2, "head", p["head_conv"], PAD1,
+        kernel_tf=_head_kernel_4x,
+        wscale_tf=lambda ws: jnp.repeat(ws, 16),
+    )
+    z = z + jnp.repeat(p["head_conv"]["bias"], 16).astype(dt)
+    z = jnp.tanh(z.astype(jnp.float32))
+    return pixel_shuffle_nhwc(z, 4)
+
+
+def _tail_2x(p, ex, y):
+    dt = ex.glue
+    a1 = _stage_conv(p, ex, y, "up0", p["upsampling_0"])
+    z = ex.conv(
+        a1, "head", p["head_conv"], PAD1,
+        kernel_tf=_head_kernel_2x,
+        wscale_tf=lambda ws: jnp.repeat(ws, 4),
+    )
+    z = z + jnp.repeat(p["head_conv"]["bias"], 4).astype(dt)
+    z = jnp.tanh(z.astype(jnp.float32))
+    return pixel_shuffle_nhwc(z, 2)
+
+
+def _tail_8x(p, ex, y):
+    """Hierarchical (ops/lr_tail.py lr_tail_8x): stage 0 canonical to 2x,
+    then the 4x transform at 2x resolution with stage names shifted."""
+    dt = ex.glue
+    a0 = ex.conv(y, "up0", p["upsampling_0"]["conv"], PAD1)
+    a0 = a0 + p["upsampling_0"]["conv"]["bias"].astype(dt)
+    a0 = pixel_shuffle_nhwc(a0, 2)
+    y2 = _prelu(a0, p["upsampling_0"]["relu"]["alpha"], dt)
+    return _tail_4x(
+        p, ex, y2, up0="upsampling_1", up1="upsampling_2",
+        n0="up1", n1="up2",
+    )
+
+
+def _forward(p, ex, x, scale_factor):
+    y = _trunk(p, ex, x)
+    tail = {2: _tail_2x, 4: _tail_4x, 8: _tail_8x}.get(scale_factor)
+    if tail is None:
+        raise ValueError(f"scale_factor must be 2, 4, or 8: {scale_factor}")
+    return tail(p, ex, y)
+
+
+# -- public entry points ------------------------------------------------------
+
+
+def sr_float_forward(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    scale_factor: int = 4,
+    collect: Dict[str, jnp.ndarray] | None = None,
+) -> jnp.ndarray:
+    """Float forward of the quantized-tier topology (fp32 glue).
+
+    Numerically the canonical ``Generator.apply`` + LR-domain tail
+    (tests/test_quant.py asserts this); ``collect`` (a mutable dict)
+    receives per-conv-input max-abs — the calibration instrument.
+    """
+    p = params["params"] if "params" in params else params
+    ex = _Exec(scales=None, collect=collect, glue_dtype=jnp.float32)
+    return _forward(p, ex, x.astype(jnp.float32), scale_factor)
+
+
+def sr_quant_forward(
+    qparams: Dict[str, Any],
+    act_scales: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    scale_factor: int = 4,
+    glue_dtype: Any = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Int8 forward: x float [-1,1] NHWC -> float [-1,1] NHWC (4x/2x/8x).
+
+    ``qparams`` from :func:`quantize_generator_params`; ``act_scales`` from
+    :func:`calibrate_scales` (per-tensor max-abs, jit inputs so
+    recalibration never recompiles).
+    """
+    ex = _Exec(scales=act_scales, collect=None, glue_dtype=glue_dtype)
+    return _forward(qparams, ex, x.astype(glue_dtype), scale_factor)
+
+
+def calibrate_scales(
+    params: Dict[str, Any],
+    batches: Iterable[Any],
+    scale_factor: int = 4,
+    margin: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Run the float forward over calibration batches ([-1,1] NHWC float or
+    uint8 HWC/NHWC) and return per-conv-input activation scales (max-abs x
+    margin). One jit per distinct batch shape."""
+
+    @jax.jit
+    def stats(p, xb):
+        c: Dict[str, jnp.ndarray] = {}
+        sr_float_forward(p, xb, scale_factor, collect=c)
+        return c
+
+    agg: Dict[str, jnp.ndarray] = {}
+    n = 0
+    for b in batches:
+        b = jnp.asarray(b)
+        if b.dtype == jnp.uint8:
+            b = b.astype(jnp.float32) / 127.5 - 1.0
+        if b.ndim == 3:
+            b = b[None]
+        for k, v in stats(params, b).items():
+            agg[k] = v if k not in agg else jnp.maximum(agg[k], v)
+        n += 1
+    if n == 0:
+        raise ValueError("calibrate_scales needs at least one batch")
+    return {
+        k: jnp.maximum(v.astype(jnp.float32) * margin, 1e-6)
+        for k, v in agg.items()
+    }
