@@ -13,10 +13,10 @@ native:
 test:
 	python -m pytest tests/ -x -q
 
-# Per-commit gate: 137 tests incl. the generator/discriminator/VGG
-# torch-parity oracles; skips compile-heavy multi-device/full-size
-# programs (tests/conftest.py SLOW_NODE_PATTERNS). Measured 2026-08-18,
-# three clean runs on this box (1 CPU core): 2m18s / 2m57s / 4m31s —
+# Per-commit gate: 169 tests incl. the generator/discriminator/VGG
+# torch-parity oracles and the int8 PTQ tier; skips compile-heavy
+# multi-device/full-size programs (tests/conftest.py SLOW_NODE_PATTERNS).
+# Measured 2026-08-19 on this box (1 CPU core): 2m45s-3m13s —
 # load-sensitive; budget ~3 min typical, 5 min worst-case.
 test-quick:
 	python -m pytest tests/ -x -q -m "not slow"

@@ -96,6 +96,27 @@ def defer_sigint():
                 os.kill(os.getpid(), signal.SIGINT)
 
 
+def tree_skeleton(tree: Any) -> Any:
+    """Canonical container-only structure of a pytree (no leaf data).
+
+    Normalizes to how orbax checkpoint metadata records containers, so a
+    saved tree's skeleton compares to a live state tree's with plain ==:
+    NamedTuples (optax states) become dicts keyed by field name, other
+    sequences become lists, dicts keep their keys, and empty containers
+    (e.g. optax EmptyState) collapse to None like any leaf.
+    """
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # NamedTuple
+        out = {k: tree_skeleton(v) for k, v in zip(tree._fields, tree)}
+        return out if out else None
+    if isinstance(tree, dict):
+        out = {k: tree_skeleton(v) for k, v in tree.items()}
+        return out if out else None
+    if isinstance(tree, (list, tuple)):
+        seq = [tree_skeleton(v) for v in tree]
+        return seq if seq else None
+    return None
+
+
 class CheckpointIO:
     """Thin wrapper over an async Orbax CheckpointManager."""
 
@@ -109,6 +130,13 @@ class CheckpointIO:
                 create=True,
                 enable_async_checkpointing=True,
             ),
+            # Register the handler up front so `item_metadata` can read a
+            # saved tree's structure in a FRESH process (resume): without
+            # it, metadata reads before the first save/restore fail with
+            # "could not be restored. Please provide a
+            # CheckpointHandlerRegistry" and saved_skeleton() would fall
+            # back to raw restore errors on structure mismatches.
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     # -- save ---------------------------------------------------------------
@@ -168,6 +196,21 @@ class CheckpointIO:
 
     def has_step(self, step: int) -> bool:
         return step in (self.manager.all_steps() or [])
+
+    def saved_skeleton(self, step: int) -> Optional[Any]:
+        """Container structure of the tree saved at `step` (metadata only —
+        no array reads), as :func:`tree_skeleton` output. None when the
+        metadata is unavailable (e.g. an orbax version without
+        item_metadata trees) — callers then fall back to restore-and-fail.
+        """
+        try:
+            meta = self.manager.item_metadata(step)
+            tree = getattr(meta, "tree", None)
+            if tree is None:
+                return None
+            return tree_skeleton(tree)
+        except Exception:
+            return None
 
     def restore(self, step: int, like: Optional[Dict[str, Any]] = None):
         """Restore step; `like` provides the abstract tree (shapes/dtypes/

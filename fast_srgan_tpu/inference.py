@@ -39,6 +39,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_warned_device_generation = False
+
+
+def _warn_unprofiled_device_generation() -> None:
+    """Warn once when running on a TPU generation the batch policy wasn't
+    profiled on.
+
+    `PIXEL_BUDGET` and the "never compile batch 2..7" rule are v5e
+    measurements (docs/DESIGN.md "Batch-size anatomy"); on another
+    generation both can be wrong in either direction (more/less HBM,
+    different conv lowerings). The engine still runs — this flags that
+    `pixel_budget=` should be re-probed rather than inherited silently.
+    """
+    global _warned_device_generation
+    if _warned_device_generation:
+        return
+    _warned_device_generation = True
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return
+    kind = str(getattr(dev, "device_kind", ""))
+    if dev.platform == "tpu" and "v5 lite" not in kind.lower():
+        import warnings
+
+        warnings.warn(
+            "SRInferenceEngine's batch policy (PIXEL_BUDGET="
+            f"{SRInferenceEngine.PIXEL_BUDGET}, batch 2..7 avoidance) was "
+            f"measured on TPU v5e but this device is {kind!r}; pass "
+            "pixel_budget= after re-probing if throughput or HBM limits "
+            "look off.",
+            stacklevel=3,
+        )
+
+
 def sr_forward_u8(apply, params, x_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8 NHWC in -> uint8 NHWC SR out: THE serving normalization.
 
@@ -106,6 +141,23 @@ class SRInferenceEngine:
         1024-ch LR map), and v5e compiles/runs 3.96 Mpx (540x960 x8) but
         fails to allocate 7.4 Mpx (720x1280 x8). Batch sizes are derived
         from this via :meth:`effective_batch_size`.
+      quantize: run the int8 PTQ forward (fast_srgan_tpu/quant.py):
+        int8xint8->int32 convs on the MXU with per-output-channel weight
+        scales and calibrated static per-tensor activation scales; the
+        float glue between convs uses `dtype`. True = the measured-optimal
+        tail-only policy (see the inline note in `__init__`; 'full' and
+        'trunk' selectable for experiments). Inference-only; quality bound
+        measured in tests/test_quant.py and scripts/eval_int8.py.
+        Incompatible with `bucket` (the masked forward needs per-sample
+        masked statistics the int8 tier does not implement — serve.py
+        --int8 therefore runs unbucketed) and with `use_pallas`.
+      act_scales: precomputed activation scales (quant.calibrate_scales).
+        They are jit *inputs*, so :meth:`recalibrate` never recompiles.
+      calib_batches: iterable of sample inputs ([-1,1] float NHWC/HWC or
+        uint8) to calibrate on when `act_scales` is None. Default: one
+        synthetic natural-statistics batch (quant.default_calibration_batch)
+        — calibrating on real inputs is preferred and what infer.py --int8
+        does.
     """
 
     # Measured on v5e (docs/DESIGN.md "Batch-size anatomy"): compiled batch
@@ -126,7 +178,11 @@ class SRInferenceEngine:
         scale_factor: int = 4,
         lr_tail: bool | None = None,
         pixel_budget: int | None = None,
+        quantize: bool | str = False,
+        act_scales: Dict[str, Any] | None = None,
+        calib_batches: Iterable[Any] | None = None,
     ):
+        _warn_unprofiled_device_generation()
         if pixel_budget is None:
             # The measured budget is 4x geometry (~2 KiB/LR px widest
             # intermediate). 8x roughly quadruples the per-LR-pixel
@@ -160,6 +216,65 @@ class SRInferenceEngine:
         else:
             self._apply = self.model.apply
         self.bucket = bucket
+        self.quantize = bool(quantize)
+        if quantize:
+            # True selects the measured-optimal policy: quantize only the
+            # LR tail (upsampling stages + head). Measured on v5e
+            # (scripts/eval_int8.py, 2026-08-19, batch 88 at 180x320):
+            # tail-only 477.7 fps vs bf16 424.8 (1.12x) — the wide no-IN
+            # tail convs ride the 2x int8 MXU rate — while quantizing the
+            # IN-glued 64-ch trunk LOSES (trunk-only 366.9, full int8
+            # 405.2: the float glue keeps activations at bf16 width, so
+            # the trunk's convs gain nothing and pay the quantize passes).
+            # Tail-only also quantizes fewer layers => higher fidelity.
+            # "full"/"trunk" remain selectable for experiments.
+            mode = "tail" if quantize is True else str(quantize)
+            if mode not in ("tail", "full", "trunk"):
+                raise ValueError(
+                    f"quantize must be True/'tail'/'full'/'trunk': {mode!r}"
+                )
+            self.quantize_mode = mode
+            if bucket:
+                raise ValueError(
+                    "int8 inference does not support the bucketed (masked) "
+                    "forward — per-sample masked activation statistics are "
+                    "not implemented (quant.py module docstring). Use "
+                    "bucket=0: one compiled program per distinct shape."
+                )
+            if use_pallas:
+                raise ValueError(
+                    "int8 inference and the Pallas tier are mutually "
+                    "exclusive; use quantize=False or use_pallas=False"
+                )
+            from fast_srgan_tpu import quant
+
+            # Keep the float tree: recalibrate() re-runs the float forward.
+            self._float_params = params
+            if act_scales is None:
+                if calib_batches is None:
+                    calib_batches = [quant.default_calibration_batch()]
+                act_scales = quant.calibrate_scales(
+                    params, calib_batches, scale_factor
+                )
+            only = {
+                "tail": quant.is_tail_module,
+                "trunk": quant.is_trunk_module,
+                "full": None,
+            }[mode]
+            # Scales ride inside the param pytree as jit INPUTS — same dict
+            # keys => same tree structure => recalibration never recompiles.
+            params = {
+                "q": quant.quantize_generator_params(params, only=only),
+                "s": dict(act_scales),
+            }
+            glue = dtype
+
+            def _quant_apply(p, x):
+                return quant.sr_quant_forward(
+                    p["q"], p["s"], x, scale_factor, glue_dtype=glue
+                )
+
+            self._apply = _quant_apply
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -227,6 +342,32 @@ class SRInferenceEngine:
             return ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
 
         self._forward_u8_masked = _forward_u8_masked
+
+    def recalibrate(self, batches: Iterable[Any]) -> None:
+        """Recompute int8 activation scales from sample inputs.
+
+        Scales are jit inputs (see `__init__`), so this swaps numbers into
+        the already-compiled programs — no recompilation. Use when the
+        content distribution shifts (e.g. a new video stream) or to replace
+        the synthetic default calibration with real frames.
+        """
+        if not self.quantize:
+            raise ValueError("recalibrate() requires quantize=True")
+        from fast_srgan_tpu import quant
+
+        scales = quant.calibrate_scales(
+            self._float_params, batches, self.SCALE
+        )
+        new_params = {"q": self.params["q"], "s": scales}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            new_params = jax.device_put(
+                new_params, NamedSharding(self.mesh, P())
+            )
+        else:
+            new_params = jax.device_put(new_params)
+        self.params = new_params
 
     def _put_batch(self, arr) -> jnp.ndarray:
         """Batch-dim-sharded device put (any rank with batch leading)."""

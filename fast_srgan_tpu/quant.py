@@ -6,8 +6,14 @@ balance ~240 (docs/DESIGN.md "Roofline at the operating point") — so neither
 more FLOPs nor more bandwidth alone helps. int8 halves *both* roofs: the MXU
 runs int8 at ~2x the bf16 rate and the activations move half the bytes. The
 probe at the generator's body shape (96x180x320x64, 3x3 convs, NHWC)
-measured **1.90x** over bf16 with the full requantize epilogue (rescale,
-round, clip, cast) fused in for free.
+measured **1.82x** over bf16 with the full requantize epilogue (rescale,
+round, clip, cast) fused in for free — but only 1.37x once float glue sits
+between the convs, and end-to-end the win survives ONLY in the LR-domain
+tail: full-graph int8 measures 0.87x, trunk-only 0.79x, tail-only **1.12x**
+(477.7 fps vs the bf16 headline's 463–465; the reconciled three-round story
+is docs/DESIGN.md "int8 decision record"). The production policy is
+therefore tail-only (``SRInferenceEngine(quantize=True)``); the full and
+trunk modes remain selectable as measured negative baselines.
 
 Scheme — standard static PTQ, shaped to this network:
 
@@ -36,9 +42,10 @@ the quantized graph provably mirrors the real one.
 
 Accuracy is a measured contract, not an assumption: tests/test_quant.py
 bounds PSNR(int8, fp32) with the shipped pretrained weights, and
-scripts/eval_int8.py reports the fidelity/speed trade on chip. The tier is
-inference-only and opt-in (``SRInferenceEngine(quantize=True)``,
-``infer.py --int8``); training and checkpoints stay fp32 (the reference's
+scripts/eval_int8.py reports the fidelity/speed trade on chip (results in
+docs/DESIGN.md "int8 decision record"). The tier is inference-only and
+opt-in (``SRInferenceEngine(quantize=True)``, ``infer.py --int8``,
+``serve.py --int8``); training and checkpoints stay fp32 (the reference's
 numerics, /root/reference/trainer.py, are never quantized).
 
 Not supported in this tier (falls back to bf16): the masked/bucketed exact
@@ -69,6 +76,19 @@ PAD1 = ((1, 1), (1, 1))
 # -- weight quantization ------------------------------------------------------
 
 
+_TRUNK_MODULES = ("neck_conv", "bottleneck_conv")
+
+
+def is_trunk_module(name: str) -> bool:
+    """Trunk = neck + residual stems + bottleneck (the IN-glued 64-ch body)."""
+    return name in _TRUNK_MODULES or name.startswith("stem_")
+
+
+def is_tail_module(name: str) -> bool:
+    """Tail = the LR-domain upsampling stages + head (wide, no IN)."""
+    return name.startswith("upsampling_") or name == "head_conv"
+
+
 def _quantize_kernel(k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[kh,kw,ci,co] fp32 -> (int8 kernel, fp32 dequant scale [co]).
 
@@ -81,17 +101,27 @@ def _quantize_kernel(k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def quantize_generator_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_generator_params(
+    params: Dict[str, Any], only=None
+) -> Dict[str, Any]:
     """Generator param tree -> quantized tree (same topology).
 
     Each conv leaf ``{"kernel": f32, ["bias": f32]}`` becomes
     ``{"qkernel": int8, "wscale": f32[co], ["bias": f32]}``; PReLU alphas
     pass through unchanged. Accepts the tree with or without the flax
     ``{"params": ...}`` wrapper and returns the bare tree.
+
+    ``only`` (optional predicate on the top-level module name) selects
+    which modules quantize; the rest keep their float ``kernel`` leaves and
+    the executor runs them as float convs (per-leaf dispatch). Used by
+    scripts/eval_int8.py's trunk-only/tail-only diagnostic arms.
     """
     p = params["params"] if "params" in params else params
     out: Dict[str, Any] = {}
     for name, sub in p.items():
+        if only is not None and not only(str(name)):
+            out[name] = sub
+            continue
         if name in ("neck_relu",) or str(name).endswith("relu"):
             out[name] = sub
             continue
@@ -175,7 +205,7 @@ class _Exec:
                 ws = wscale_tf(ws)
             return self.conv_q(self.qin(name, x), name, k, ws, padding)
         self.observe(name, x)
-        k = leaf["kernel"].astype(jnp.float32)
+        k = leaf["kernel"].astype(self.glue)  # float conv at glue dtype
         if kernel_tf is not None:
             k = kernel_tf(k)
         return lax.conv_general_dilated(
@@ -236,11 +266,11 @@ def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
         ex.observe(n1, a1)
         phases = [
             lax.conv_general_dilated(
-                a1, kp.astype(jnp.float32), (1, 1),
+                a1, kp, (1, 1),
                 ((1 - pp, pp), (1 - q, q)), dimension_numbers=_DN,
             ).astype(dt)
             for (pp, q), kp in _phase_kernels_2x(
-                leaf["kernel"].astype(jnp.float32)
+                leaf["kernel"].astype(dt)
             ).items()
         ]
     b2 = leaf["bias"].astype(dt)
@@ -327,6 +357,70 @@ def sr_quant_forward(
     """
     ex = _Exec(scales=act_scales, collect=None, glue_dtype=glue_dtype)
     return _forward(qparams, ex, x.astype(glue_dtype), scale_factor)
+
+
+def default_calibration_batch(
+    h: int = 180, w: int = 320, n: int = 4, seed: int = 0
+) -> jnp.ndarray:
+    """Synthetic natural-image-statistics calibration batch ([-1,1] NHWC).
+
+    Used when the caller has no sample inputs (e.g. a video stream about to
+    start). Mixes the activation drivers real content has — smooth
+    gradients, hard edges, and texture noise — so per-conv max-abs scales
+    land near those from natural images; the input itself is bounded in
+    [-1,1] like every real input, so the first conv's scale is exact either
+    way. Calibrating on actual inputs (``SRInferenceEngine.recalibrate`` /
+    ``infer.py --int8`` does this automatically) is still preferred.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    imgs = []
+    for i in range(n):
+        grad = np.sin(yy / (8 + 13 * i) + i) * np.cos(xx / (11 + 7 * i))
+        edges = np.sign(np.sin(yy / (3 + 2 * i)) * np.sin(xx / (5 + 3 * i)))
+        noise = rng.standard_normal((h, w)).astype(np.float32)
+        base = 0.55 * grad + 0.3 * edges + 0.15 * noise
+        chans = [
+            np.clip(base + 0.1 * rng.standard_normal((h, w)), -1, 1)
+            for _ in range(3)
+        ]
+        imgs.append(np.stack(chans, -1).astype(np.float32))
+    return jnp.asarray(np.stack(imgs))
+
+
+def calibration_batch_from_images(
+    images: Iterable[Any], k: int = 8, max_h: int = 180, max_w: int = 320
+) -> jnp.ndarray | None:
+    """Build ONE calibration batch from sample uint8 HWC images.
+
+    Center-crops up to ``k`` images to a single common shape (the smallest
+    of the selected images, capped at max_h x max_w) so calibration costs
+    exactly one compile, and maps to [-1,1]. Returns None if no image is at
+    least 32x32 (callers fall back to :func:`default_calibration_batch`).
+    """
+    import numpy as np
+
+    picked = []
+    for im in images:
+        im = np.asarray(im)
+        if im.ndim != 3 or im.shape[0] < 32 or im.shape[1] < 32:
+            continue
+        picked.append(im)
+        if len(picked) == k:
+            break
+    if not picked:
+        return None
+    ch = min(max_h, min(im.shape[0] for im in picked))
+    cw = min(max_w, min(im.shape[1] for im in picked))
+    crops = []
+    for im in picked:
+        y0 = (im.shape[0] - ch) // 2
+        x0 = (im.shape[1] - cw) // 2
+        crop = im[y0 : y0 + ch, x0 : x0 + cw, :3].astype(np.float32)
+        crops.append(crop / 127.5 - 1.0)
+    return jnp.asarray(np.stack(crops))
 
 
 def calibrate_scales(

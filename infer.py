@@ -96,6 +96,14 @@ def main(argv=None) -> None:
         "--fp32", action="store_true", help="fp32 compute (default bf16)"
     )
     parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 PTQ inference (fast_srgan_tpu/quant.py, tail-only — the "
+        "measured-optimal policy): int8 convs on the MXU for the LR-domain "
+        "tail, activation scales calibrated on the first input images "
+        "(videos use a synthetic calibration batch). Measured speed/quality "
+        "in scripts/eval_int8.py. Unbucketed/untiled only.",
+    )
+    parser.add_argument(
         "--tile", default=None, type=int,
         help="shard each frame's width across N devices (exact halo-exchange"
         " tiling with psum'd instance-norm statistics; width must divide N)",
@@ -137,6 +145,15 @@ def main(argv=None) -> None:
             "--tile and --bucket are mutually exclusive: tiling runs whole "
             "frames across devices, bucketing batches padded frames on one"
         )
+    if args.int8:
+        if args.tile or args.bucket:
+            parser.error(
+                "--int8 supports neither --tile nor --bucket (the int8 tier "
+                "has no masked/sharded forward; quant.py module docstring)"
+            )
+        if tile or bucket:  # config-sourced values: ignore with a note
+            print("note: --int8 ignores config inference.tile/bucket")
+            tile, bucket = 0, 0
     if args.video is not None:
         # Only reject EXPLICIT flags: a config carrying inference.tile/bucket
         # for directory runs must not break video invocations that never
@@ -146,7 +163,7 @@ def main(argv=None) -> None:
             parser.error("--video supports neither --tile nor --bucket")
         tile, bucket = 0, 0
 
-    def make_engine():
+    def make_engine(calib_batches=None):
         # not built on the --tile path (tiling uses the raw params)
         return SRInferenceEngine(
             params,
@@ -156,6 +173,8 @@ def main(argv=None) -> None:
             bucket=bucket,
             use_pallas=config.kernels.use_pallas,
             scale_factor=arch["scale_factor"],
+            quantize=args.int8,
+            calib_batches=calib_batches,
         )
 
     if args.video is not None:
@@ -219,6 +238,16 @@ def main(argv=None) -> None:
                 )
                 break
     print(f"Found {len(names)} to super resolve, starting...")
+    calib = None
+    if args.int8 and paths:
+        # Calibrate activation scales on the actual inputs (one compile):
+        # center crops of the first few images. Falls back to the synthetic
+        # default batch inside the engine if none is usable.
+        from fast_srgan_tpu.quant import calibration_batch_from_images
+
+        cb = calibration_batch_from_images(load_image_u8(p) for p in paths)
+        if cb is not None:
+            calib = [cb]
     t0 = time.perf_counter()
     if tile > 0:
         from fast_srgan_tpu.parallel.mesh import make_mesh
@@ -230,7 +259,7 @@ def main(argv=None) -> None:
             out = tiled_upscale_u8(params, load_image_u8(path), mesh, dtype=dtype)
             save_image_u8(os.path.join(args.output_dir, name), out)
     else:
-        engine = make_engine()
+        engine = make_engine(calib_batches=calib)
         # Memory-bounded: images decoded one batch at a time, saved as done.
         for i, out in engine.upscale_files(paths, batch_size=batch_size):
             save_image_u8(os.path.join(args.output_dir, names[i]), out)

@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Measure the int8 PTQ tier's fidelity/speed trade on the current device.
+
+    python scripts/eval_int8.py [--checkpoint PATH] [--batch 96]
+        [--shape 180x320] [--frames 0] [--iters 8]
+
+Reports, as one JSON object:
+  * quality: PSNR(int8, fp32) in the uint8 output domain on synthetic
+    natural-statistics frames (quant.default_calibration_batch) with the
+    given (default: shipped pretrained) weights — the serving contract
+    tests/test_quant.py::TestPretrainedBound bounds;
+  * speed: ms/batch and fps for the production bf16 LR-tail forward vs the
+    int8 forward at the same shape, with the checksum-barrier protocol
+    (bench.py module docstring: through the dev tunnel, block_until_ready
+    returns early and bulk fetch measures the tunnel — so each program
+    returns an int32 checksum and its 4-byte fetch is the barrier).
+
+Reference behavior being accelerated: the per-frame generator forward,
+/root/reference/inference.py:47-57.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fast_srgan_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from fast_srgan_tpu import quant  # noqa: E402
+from fast_srgan_tpu.models import Generator  # noqa: E402
+from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail  # noqa: E402
+from fast_srgan_tpu.utils.xla_opts import tuned_compiler_options  # noqa: E402
+
+
+def bench(fn, args_, iters, repeats=3):
+    """Best-of sustained ms/iter over a dependent chain, checksum barrier."""
+    out, ck = fn(*args_)
+    int(ck)  # compile + completion barrier
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, ck = fn(*args_)
+            del out
+        int(ck)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--batch", default="96",
+        help="comma-separated batch sizes to sweep; OOM arms are recorded "
+        "and skipped (the int8 program's int32 conv outputs make its HBM "
+        "watermark slightly higher than bf16's at equal batch)",
+    )
+    p.add_argument("--shape", default="180x320")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--glue", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument(
+        "--hybrids", action="store_true",
+        help="also measure the trunk-only quantization arm "
+        "(diagnoses where the op-level int8 win is lost end-to-end)",
+    )
+    p.add_argument(
+        "--arms", default=None,
+        help="comma-separated subset of arms to time "
+        "(bf16,int8,int8_tail_only,int8_trunk_only); default: bf16, int8 "
+        "and tail-only (+ trunk-only with --hybrids)",
+    )
+    args = p.parse_args()
+    h, w = map(int, args.shape.split("x"))
+
+    from infer import load_generator_params, resolve_default_checkpoint
+
+    ckpt = args.checkpoint or resolve_default_checkpoint()
+    params = load_generator_params(ckpt)
+
+    # --- quality (fp32 vs int8, uint8 output domain) -----------------------
+    is_trunk, is_tail = quant.is_trunk_module, quant.is_tail_module
+
+    xq = quant.default_calibration_batch(h=96, w=160, n=4, seed=7)
+    scales = quant.calibrate_scales(params, [xq], scale_factor=4)
+    qparams = quant.quantize_generator_params(params)
+    qtail = quant.quantize_generator_params(params, only=is_tail)
+    ref = quant.sr_float_forward(params, xq, scale_factor=4)
+    u8 = lambda y: np.clip((np.asarray(y, np.float32) + 1) * 127.5, 0, 255)
+
+    def psnr_of(tree):
+        out = quant.sr_quant_forward(
+            tree, scales, xq, scale_factor=4, glue_dtype=jnp.float32
+        )
+        mse = float(np.mean((u8(ref) - u8(out)) ** 2))
+        return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+    psnr = psnr_of(qparams)
+    psnr_tail = psnr_of(qtail)
+
+    # --- speed: bf16 LR-tail (production) vs int8 ---------------------------
+    glue = jnp.bfloat16 if args.glue == "bfloat16" else jnp.float32
+    model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
+    apply_bf16 = functools.partial(generator_apply_lr_tail, model)
+    copts = tuned_compiler_options()
+
+    @functools.partial(jax.jit, compiler_options=copts)
+    def fwd_bf16(p, x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+        y = apply_bf16(p, x)
+        u = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+        return u, jnp.sum(u, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, compiler_options=copts)
+    def fwd_int8(qp, s, x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
+        y = quant.sr_quant_forward(qp, s, x, scale_factor=4, glue_dtype=glue)
+        u = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+        return u, jnp.sum(u, dtype=jnp.int32)
+
+    # Hybrid arms (per-leaf executor dispatch): quantize only the trunk
+    # (neck/stems/bottleneck — the shape the op-level probe measured 1.9x
+    # on) or only the LR tail (the wide 256/1024-ch convs). Measured
+    # 2026-08-19 (v5e, batch 88): tail-only WINS (477.7 fps vs bf16 424.8),
+    # trunk-only loses (366.9), full int8 loses (405.2) — the IN-glued
+    # trunk is where int8 dies; the tail is where it pays.
+
+    rng = np.random.default_rng(0)
+    params_d = jax.device_put(params)
+    qparams_d = jax.device_put(qparams)
+    scales_d = jax.device_put(scales)
+
+    def arm(fn, args_of_x, b):
+        x_u8 = jax.device_put(
+            rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+        )
+        try:
+            ms = bench(fn, args_of_x(x_u8), args.iters)
+        except Exception as e:  # record OOM arms, keep sweeping
+            msg = str(e).lower()
+            if "resource_exhausted" in msg or "out of memory" in msg:
+                return {"oom": True}
+            raise
+        return {"ms": round(ms, 2), "fps": round(b / ms * 1e3, 1)}
+
+    trees = {
+        "int8": qparams_d,
+        "int8_tail_only": jax.device_put(qtail),
+        "int8_trunk_only": jax.device_put(
+            quant.quantize_generator_params(params, only=is_trunk)
+        ),
+    }
+    if args.arms:
+        wanted = set(args.arms.split(","))
+    else:
+        wanted = {"bf16", "int8", "int8_tail_only"}
+        if args.hybrids:
+            wanted.add("int8_trunk_only")
+    batches = [int(b) for b in str(args.batch).split(",")]
+    arms = {}
+    for b in batches:
+        row = {}
+        if "bf16" in wanted:
+            row["bf16"] = arm(fwd_bf16, lambda x: (params_d, x), b)
+        for name, tree in trees.items():
+            if name not in wanted:
+                continue
+            row[name] = arm(fwd_int8, lambda x: (tree, scales_d, x), b)
+        arms[b] = row
+    best = lambda k: max(
+        (a[k]["fps"] for a in arms.values() if "fps" in a.get(k, {})),
+        default=None,
+    )
+    fb, fi = best("bf16"), best("int8")
+    result = {
+        "device": str(jax.devices()[0].device_kind),
+        "checkpoint": ckpt,
+        "shape": args.shape,
+        "glue": args.glue,
+        "psnr_int8_vs_fp32_u8_db": round(psnr, 2),
+        "psnr_int8_tail_only_vs_fp32_u8_db": round(psnr_tail, 2),
+        "arms": arms,
+        "best_fps_bf16": fb,
+        "best_fps_int8": fi,
+        "speedup_int8_over_bf16": (
+            round(fi / fb, 3) if fb and fi else None
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,44 @@ def main():
     print(f"int8 raw        : {t_raw*1e3:8.2f} ms  "
           f"{flop/t_raw/1e12:6.1f} TOP/s   speedup {t_bf/t_raw:.2f}x")
 
+    # int8 convs with FLOAT GLUE between them — the memory pattern the real
+    # static-PTQ graph (quant.py) actually has: every conv output
+    # dequantizes to bf16 for the float ops between convs (instance norm /
+    # PReLU / bias), then requantizes for the next conv. Activations move
+    # at bf16 width (no bandwidth halving) and the quantize pass is extra
+    # work. This arm is the honest upper bound for quant.py's design;
+    # the int8-in/int8-out chains above are only reachable by an
+    # all-integer pipeline with no float ops between convs.
+    @ft.partial(jax.jit, compiler_options=copts)
+    def int8_glue_chain(x, w, scale):
+        def body(hc, _):
+            hq = jnp.clip(
+                jnp.round(hc.astype(jnp.float32) * 127.0), -127, 127
+            ).astype(jnp.int8)
+            y = conv(hq, w, jnp.int32)
+            yf = y.astype(jnp.float32) * scale  # dequant for float glue
+            return jnp.tanh(yf).astype(jnp.bfloat16), ()
+
+        hh, _ = jax.lax.scan(body, x, None, length=args.depth)
+        return hh, jnp.sum(hh, dtype=jnp.int32)
+
+    # matched bf16 baseline with the same glue op, so the comparison
+    # isolates the conv engine + quant passes (not the tanh)
+    @ft.partial(jax.jit, compiler_options=copts)
+    def bf16_glue_chain(x, w):
+        def body(hc, _):
+            return jnp.tanh(conv(hc, w)).astype(jnp.bfloat16), ()
+
+        hh, _ = jax.lax.scan(body, x, None, length=args.depth)
+        return hh, jnp.sum(hh, dtype=jnp.int32)
+
+    t_bg = bench(bf16_glue_chain, (xb, wb))
+    t_ig = bench(int8_glue_chain, (xb, w8, scale))
+    print(f"bf16 +glue      : {t_bg*1e3:8.2f} ms  "
+          f"{flop/t_bg/1e12:6.1f} TFLOP/s")
+    print(f"int8 +float glue: {t_ig*1e3:8.2f} ms  "
+          f"{flop/t_ig/1e12:6.1f} TOP/s   speedup {t_bg/t_ig:.2f}x")
+
 
 if __name__ == "__main__":
     main()

@@ -6,14 +6,17 @@ fp32 graph and (b) throughput vs bf16 with the checksum-barrier protocol.
 Per-output-channel weight scales; per-layer static activation absmax scales
 from calibration crops.
 
-RESULT (v5e, 2026-08-16) — int8 is a dead end on this stack and stays OUT of
-the production path:
+RESULT (v5e, 2026-08-16) — THIS formulation (per-layer dequant to fp32 at
+every boundary) is 2x slower and stays out of the production path:
     int8 vs fp32 quality : 34.1 dB PSNR (marginal for SR)
     bf16                 : 71.9 ms/batch16 -> 222.5 fps
     int8                 : 144.2 ms/batch16 -> 110.9 fps  (2x SLOWER)
-XLA's NHWC int8 convolution lowering does not hit the v5e int8 MXU fast path
-from this input program; the per-layer quantize/dequantize chains add HBM
-passes that swamp any MXU gain. Kept as a reproducible experiment record.
+The per-layer quantize/dequantize chains add HBM passes that swamp the MXU
+gain. SUPERSEDED in part (2026-08-19): the unified executor in
+fast_srgan_tpu/quant.py with fused requantize epilogues measured the full
+graph at 0.87x (still a loss) but TAIL-ONLY quantization at 1.12x — the
+production int8 tier. Full reconciled story: docs/DESIGN.md "int8 decision
+record (rounds 2-4)". Kept as a reproducible experiment record.
 """
 
 from __future__ import annotations

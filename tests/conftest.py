@@ -69,6 +69,9 @@ SLOW_NODE_PATTERNS = (
     "test_vgg_parity.py::TestVGGParity::test_pretrain_only_needs_no_vgg",
     "test_kernels.py",
     "test_multihost.py",
+    "test_quant.py::TestOtherScales",
+    "test_quant.py::TestEngineInt8",
+    "test_quant.py::TestPretrainedBound",
     "test_fused_upsample.py",
     "test_fused_upsample_v2.py",
     "test_pixel_shuffle_kernel.py",

@@ -10,7 +10,7 @@ from fast_srgan_tpu.checkpoints.npz_io import (
     save_npz_params,
     unflatten_tree,
 )
-from fast_srgan_tpu.checkpoints.orbax_io import CheckpointIO
+from fast_srgan_tpu.checkpoints.orbax_io import CheckpointIO, tree_skeleton
 
 
 class TestNpzIO:
@@ -40,6 +40,54 @@ class TestNpzIO:
     def test_flatten_unflatten_inverse(self):
         tree = {"a": {"b": {"c": np.ones(1)}}, "d": np.zeros(2)}
         assert unflatten_tree(flatten_tree(tree)).keys() == tree.keys()
+
+
+class TestTreeSkeleton:
+    """The structural resume pre-check (trainer._restore): compare the
+    saved tree's container skeleton from checkpoint metadata to the live
+    state tree's, instead of string-matching orbax's error message."""
+
+    def test_container_normalization(self):
+        import collections
+
+        NT = collections.namedtuple("NT", ["mu", "nu"])
+        Empty = collections.namedtuple("Empty", [])
+        t = {
+            "opt": (NT(mu={"k": np.zeros(1)}, nu=np.ones(1)), [np.zeros(2)]),
+            "e": Empty(),
+        }
+        assert tree_skeleton(t) == {
+            "opt": [{"mu": {"k": None}, "nu": None}, [None]],
+            "e": None,
+        }
+
+    def test_saved_skeleton_matches_like_with_optax_state(self, tmp_path):
+        import optax
+
+        params = {"layer": {"kernel": jnp.ones((2, 2))}}
+        opt_state = optax.adamw(1e-3).init(params)
+        tree = {"g_params": params, "g_opt": opt_state}
+        io = CheckpointIO(str(tmp_path / "ck"))
+        io.save(1, tree)
+        io.wait()
+        assert io.saved_skeleton(1) == tree_skeleton(tree)
+        # a different-settings tree (extra EMA key / different opt chain)
+        # is detected structurally, before any array data is read
+        assert io.saved_skeleton(1) != tree_skeleton(
+            {**tree, "g_ema": params}
+        )
+        assert io.saved_skeleton(1) != tree_skeleton(
+            {"g_params": params,
+             "g_opt": optax.chain(
+                 optax.clip_by_global_norm(1.0), optax.adamw(1e-3)
+             ).init(params)}
+        )
+        io.close()
+
+    def test_saved_skeleton_missing_step(self, tmp_path):
+        io = CheckpointIO(str(tmp_path / "ck2"))
+        assert io.saved_skeleton(99) is None
+        io.close()
 
 
 class TestCheckpointIO:

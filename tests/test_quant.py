@@ -1,0 +1,344 @@
+"""Int8 PTQ tier (fast_srgan_tpu/quant.py) tests.
+
+Three contracts:
+  * the float executor is the canonical model: `sr_float_forward` ==
+    `Generator.apply` to float tolerance (the quantized graph provably
+    mirrors the real topology);
+  * quantization is bounded: int8 vs float PSNR on the same params/input
+    clears a floor, including with the shipped pretrained weights
+    (reference /root/reference/models/model.pt via the converter);
+  * the engine integration (`SRInferenceEngine(quantize=True)`) serves
+    uint8 batches, recalibrates without recompiling, and rejects the
+    unsupported modes (bucketed/masked, Pallas) loudly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast_srgan_tpu import quant
+from fast_srgan_tpu.models import Generator
+
+from conftest import perturbed_init
+
+
+def _psnr(a, b, peak=2.0):
+    mse = float(jnp.mean((jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)) ** 2))
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+def _small(scale_factor=4):
+    m = Generator(
+        n_filters=8, n_layers=2, dtype=jnp.float32, scale_factor=scale_factor
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 12, 14, 3)).astype(np.float32)
+    )
+    v = perturbed_init(m, x)
+    return m, v, x
+
+
+class TestQuantTree:
+    def test_structure_and_roundtrip(self):
+        m, v, x = _small()
+        q = quant.quantize_generator_params(v)
+        p = v["params"]
+        # every conv leaf got (qkernel int8, wscale f32[co]); alphas pass
+        assert q["neck_conv"]["qkernel"].dtype == jnp.int8
+        co = p["neck_conv"]["kernel"].shape[-1]
+        assert q["neck_conv"]["wscale"].shape == (co,)
+        assert "bias" in q["neck_conv"]
+        assert q["neck_relu"] is p["neck_relu"]
+        assert q["stem_0"]["conv1"]["qkernel"].dtype == jnp.int8
+        assert "bias" not in q["stem_0"]["conv1"]  # use_bias=False convs
+        # dequantized kernel within half a quantization step everywhere
+        k = np.asarray(p["head_conv"]["kernel"], np.float32)
+        deq = np.asarray(q["head_conv"]["qkernel"], np.float32) * np.asarray(
+            q["head_conv"]["wscale"]
+        )
+        step = np.asarray(q["head_conv"]["wscale"])
+        assert np.all(np.abs(deq - k) <= 0.5 * step + 1e-7)
+
+    def test_exact_zero_stays_zero(self):
+        k = jnp.zeros((3, 3, 4, 4)).at[1, 1, 0, 0].set(1.0)
+        q, s = quant._quantize_kernel(k)
+        assert int(jnp.sum(q != 0)) == 1  # zeros quantize to int8 zero
+
+
+class TestFloatOracle:
+    def test_matches_canonical_4x(self):
+        m, v, x = _small(4)
+        ref = m.apply(v, x)
+        got = quant.sr_float_forward(v, x, scale_factor=4)
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=5e-4)
+
+    def test_collect_covers_every_conv(self):
+        m, v, x = _small(4)
+        c = {}
+        quant.sr_float_forward(v, x, scale_factor=4, collect=c)
+        assert set(c) == {
+            "neck", "stem_0_c1", "stem_0_c2", "stem_1_c1", "stem_1_c2",
+            "bottleneck", "up0", "up1", "head",
+        }
+        scales = quant.calibrate_scales(v, [x], scale_factor=4)
+        assert set(scales) == set(c)
+        assert all(float(s) > 0 for s in scales.values())
+
+    def test_calibrate_rejects_empty(self):
+        m, v, x = _small(4)
+        with pytest.raises(ValueError):
+            quant.calibrate_scales(v, [], scale_factor=4)
+
+
+class TestInt8Quality:
+    def test_int8_close_to_float_4x(self):
+        m, v, x = _small(4)
+        ref = m.apply(v, x)
+        scales = quant.calibrate_scales(v, [x], scale_factor=4)
+        q = quant.quantize_generator_params(v)
+        out = quant.sr_quant_forward(
+            q, scales, x, scale_factor=4, glue_dtype=jnp.float32
+        )
+        assert _psnr(ref, out) > 32.0  # measured ~40 dB on random params
+
+
+@pytest.mark.parametrize("sf", [2, 8])
+class TestOtherScales:
+    def test_oracle_and_int8(self, sf):
+        m, v, x = _small(sf)
+        ref = m.apply(v, x)
+        got = quant.sr_float_forward(v, x, scale_factor=sf)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=5e-4)
+        scales = quant.calibrate_scales(v, [x], scale_factor=sf)
+        out = quant.sr_quant_forward(
+            quant.quantize_generator_params(v), scales, x,
+            scale_factor=sf, glue_dtype=jnp.float32,
+        )
+        assert _psnr(ref, out) > 32.0
+
+
+class TestCalibrationHelpers:
+    def test_default_batch_bounded(self):
+        b = quant.default_calibration_batch(h=24, w=32, n=2)
+        assert b.shape == (2, 24, 32, 3)
+        assert float(jnp.max(jnp.abs(b))) <= 1.0
+
+    def test_from_images_common_crop(self):
+        rng = np.random.default_rng(0)
+        imgs = [
+            rng.integers(0, 256, (64, 48, 3), np.uint8),
+            rng.integers(0, 256, (40, 100, 3), np.uint8),
+            rng.integers(0, 256, (8, 8, 3), np.uint8),  # too small: skipped
+        ]
+        b = quant.calibration_batch_from_images(imgs, max_h=60, max_w=60)
+        assert b.shape == (2, 40, 48, 3)
+        assert float(jnp.max(jnp.abs(b))) <= 1.0
+
+    def test_from_images_none_usable(self):
+        assert (
+            quant.calibration_batch_from_images(
+                [np.zeros((4, 4, 3), np.uint8)]
+            )
+            is None
+        )
+
+    def test_calibrate_accepts_uint8_and_hwc(self):
+        m, v, _ = _small(4)
+        img = np.random.default_rng(1).integers(0, 256, (12, 14, 3), np.uint8)
+        scales = quant.calibrate_scales(v, [img], scale_factor=4)
+        assert set(scales) and all(float(s) > 0 for s in scales.values())
+
+
+class TestEngineGuards:
+    def test_bucket_rejected(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, _ = _small(4)
+        with pytest.raises(ValueError, match="masked"):
+            SRInferenceEngine(
+                v, n_filters=8, n_layers=2, bucket=32, quantize=True
+            )
+
+    def test_pallas_rejected(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, _ = _small(4)
+        with pytest.raises(ValueError, match="allas"):
+            SRInferenceEngine(
+                v, n_filters=8, n_layers=2, use_pallas=True, quantize=True
+            )
+
+    def test_recalibrate_requires_quantize(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, _ = _small(4)
+        eng = SRInferenceEngine(v, n_filters=8, n_layers=2)
+        with pytest.raises(ValueError, match="quantize"):
+            eng.recalibrate([jnp.zeros((1, 12, 14, 3))])
+
+
+class TestDeviceGenerationWarning:
+    class _FakeDev:
+        def __init__(self, platform, kind):
+            self.platform = platform
+            self.device_kind = kind
+
+    def _run(self, monkeypatch, platform, kind):
+        import fast_srgan_tpu.inference as inf
+
+        monkeypatch.setattr(inf, "_warned_device_generation", False)
+        monkeypatch.setattr(
+            inf.jax, "devices", lambda: [self._FakeDev(platform, kind)]
+        )
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            inf._warn_unprofiled_device_generation()
+        return [str(x.message) for x in w]
+
+    def test_warns_on_other_tpu_generation(self, monkeypatch):
+        msgs = self._run(monkeypatch, "tpu", "TPU v4")
+        assert any("batch policy" in m for m in msgs)
+
+    def test_silent_on_v5e(self, monkeypatch):
+        assert self._run(monkeypatch, "tpu", "TPU v5 lite") == []
+
+    def test_silent_on_cpu(self, monkeypatch):
+        assert self._run(monkeypatch, "cpu", "cpu") == []
+
+    def test_warns_once(self, monkeypatch):
+        import fast_srgan_tpu.inference as inf
+
+        msgs = self._run(monkeypatch, "tpu", "TPU v4")
+        assert msgs
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            inf._warn_unprofiled_device_generation()
+        assert w == []
+
+
+class TestEngineInt8:
+    """Compile-heavy engine integration (slow tier)."""
+
+    def test_uint8_batch_close_to_float_engine(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        base = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32
+        )
+        qeng = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            calib_batches=[x],
+        )
+        rng = np.random.default_rng(0)
+        batch = rng.integers(0, 256, (1, 12, 14, 3), np.uint8)
+        ref = base.upscale_batch(batch).astype(np.float32)
+        out = qeng.upscale_batch(batch).astype(np.float32)
+        assert out.shape == ref.shape
+        mse = float(np.mean((ref - out) ** 2))
+        assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 30.0
+
+    def test_recalibrate_no_recompile(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        eng = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            calib_batches=[x],
+        )
+        batch = np.random.default_rng(1).integers(
+            0, 256, (1, 12, 14, 3), np.uint8
+        )
+        eng.upscale_batch(batch)
+        n0 = eng._forward_u8._cache_size()
+        eng.recalibrate([x * 0.5])
+        out = eng.upscale_batch(batch)
+        assert out.shape == (1, 48, 56, 3)
+        assert eng._forward_u8._cache_size() == n0
+
+    def test_upscale_float_is_quant_forward(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        eng = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize="full",
+            calib_batches=[x],
+        )
+        scales = quant.calibrate_scales(v, [x], scale_factor=4)
+        direct = quant.sr_quant_forward(
+            quant.quantize_generator_params(v), scales, x,
+            scale_factor=4, glue_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(eng.upscale_float(x)), np.asarray(direct), atol=1e-5
+        )
+
+    def test_default_mode_is_tail_only(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        eng = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            calib_batches=[x],
+        )
+        assert eng.quantize_mode == "tail"
+        q = eng.params["q"]
+        # trunk stays float, tail is int8
+        assert "kernel" in q["neck_conv"] and "kernel" in q["stem_0"]["conv1"]
+        assert q["head_conv"]["qkernel"].dtype == jnp.int8
+        assert q["upsampling_0"]["conv"]["qkernel"].dtype == jnp.int8
+        direct = quant.sr_quant_forward(
+            quant.quantize_generator_params(
+                v, only=quant.is_tail_module
+            ),
+            quant.calibrate_scales(v, [x], scale_factor=4), x,
+            scale_factor=4, glue_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(eng.upscale_float(x)), np.asarray(direct), atol=1e-5
+        )
+
+    def test_bad_mode_rejected(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, _ = _small(4)
+        with pytest.raises(ValueError, match="quantize must be"):
+            SRInferenceEngine(v, n_filters=8, n_layers=2, quantize="int4")
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/models/model.pt"),
+    reason="reference pretrained checkpoint not present",
+)
+class TestPretrainedBound:
+    """The shipped-weights quality contract (slow tier)."""
+
+    def test_psnr_bound_pretrained(self):
+        from fast_srgan_tpu.checkpoints.torch_compat import (
+            load_reference_generator_params,
+        )
+
+        params = load_reference_generator_params(
+            "/root/reference/models/model.pt"
+        )
+        x = quant.default_calibration_batch(h=48, w=64, n=2, seed=3)
+        ref = quant.sr_float_forward(params, x, scale_factor=4)
+        scales = quant.calibrate_scales(params, [x], scale_factor=4)
+        out = quant.sr_quant_forward(
+            quant.quantize_generator_params(params), scales, x,
+            scale_factor=4, glue_dtype=jnp.float32,
+        )
+        # uint8 output domain, like serving
+        to_u8 = lambda y: np.clip(
+            (np.asarray(y, np.float32) + 1) * 127.5, 0, 255
+        )
+        mse = float(np.mean((to_u8(ref) - to_u8(out)) ** 2))
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+        assert psnr > 33.0, f"int8 vs fp32 PSNR {psnr:.2f} dB below bound"
