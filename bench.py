@@ -239,12 +239,15 @@ def main() -> None:
     arms = {f"bf16_b{batch}": round(fps, 2)}
     mode = "bf16"
     # int8-tail arm (docs/DESIGN.md "int8 decision record"): the production
-    # quantized tier. Its int32 conv outputs raise the HBM watermark, so
-    # its batch ladder starts at 88 where bf16 runs 96. The headline takes
+    # quantized tier. Its int32 conv outputs raise the HBM watermark: at
+    # 180x320, batch 88 fits but 90 OOMs (measured, v5e) — a per-device
+    # LR-pixel cap of 88*180*320, applied per shape. The headline takes
     # whichever arm measures faster; BENCH_INT8=0 skips the arm.
     if os.environ.get("BENCH_INT8", "1") == "1":
+        i8_pixel_cap = 88 * 180 * 320
+        cap = max(1, i8_pixel_cap // (h * w))
         i8_cands = list(
-            dict.fromkeys(min(b, 88) if b >= 88 else b for b in candidates)
+            dict.fromkeys(min(b, cap) for b in candidates)
         )
         try:
             fps8, batch8 = measure(True, i8_cands)

@@ -20,7 +20,15 @@ incl. tunnel RTT, 48.2 ms/frame batch-1 pipelined cadence, 28.8 ms/frame
 streaming at batch 8 (34.7 fps) — real-time 4K output per chip, and the
 <50 ms single-frame target met on-device.
 
-Usage: python scripts/bench_4k.py  [BENCH_FRAMES=64]
+--int8 (round 4, same protocol): 36.4 ms device latency (-14%), 71.3 ms
+strict, 42.6 ms cadence, 26.3 ms/frame streaming at batch 8 (38.0 fps,
++9.5%) — the int8 tier wins at 4K too (quality bound 38.75 dB vs fp32,
+docs/DESIGN.md "int8 decision record").
+
+Usage: python scripts/bench_4k.py [--int8] [BENCH_FRAMES=64]
+
+--int8 measures the production quantized tier instead (tail-only int8,
+fast_srgan_tpu/quant.py — docs/DESIGN.md "int8 decision record").
 """
 
 from __future__ import annotations
@@ -52,13 +60,37 @@ W = int(os.environ.get("BENCH_W", "960"))
 
 def main() -> None:
     frames = int(os.environ.get("BENCH_FRAMES", "64"))
+    int8 = "--int8" in sys.argv
     _, (params, _) = entry()
-    params = jax.device_put(params)
     model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
+
+    if int8:
+        from fast_srgan_tpu import quant
+
+        scales = quant.calibrate_scales(
+            params, [quant.default_calibration_batch(h=96, w=160)],
+            scale_factor=4,
+        )
+        params = {
+            "q": quant.quantize_generator_params(
+                params, only=quant.is_tail_module
+            ),
+            "s": scales,
+        }
+
+        def apply_fn(p, x):
+            return quant.sr_quant_forward(
+                p["q"], p["s"], x, scale_factor=4, glue_dtype=jnp.bfloat16
+            )
+
+        print("arm: int8 (tail-only PTQ)")
+    else:
+        apply_fn = functools.partial(generator_apply_lr_tail, model)
+    params = jax.device_put(params)
 
     def forward_body(params, x_u8):
         x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        sr = generator_apply_lr_tail(model, params, x)
+        sr = apply_fn(params, x)
         out = jnp.clip((sr + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return out, jnp.sum(out.astype(jnp.int32))
 

@@ -20,9 +20,17 @@ PCIe link would not pay. The numbers below are therefore a conservative
 floor for the serving layer itself; the device-side forward at these
 shapes is the minority cost (bench.py measures it in isolation).
 
+Mixed-size load: SHAPE may be a comma-separated list — clients rotate
+through the shapes. Every listed shape is pre-warmed exactly the way
+serve.py's startup ladder does (engine.upscale_images with
+pad_singletons=True), and the report counts **cold compiles during the
+load phase directly** from the engine's jit caches (`_cache_size` delta):
+`cold_compiles: 0` proves no request paid a 20-240s mid-request compile.
+
 Usage:
   python scripts/bench_serve.py            # TPU (or current backend)
-  CONCURRENCY=16 REQUESTS=8 SHAPE=180x320 MAX_BATCH=8 python scripts/bench_serve.py
+  CONCURRENCY=16 REQUESTS=8 SHAPE=90x160,180x320,270x480 MAX_BATCH=8 \
+      python scripts/bench_serve.py
 """
 
 from __future__ import annotations
@@ -55,7 +63,11 @@ def main() -> None:
 
     concurrency = int(os.environ.get("CONCURRENCY", "16"))
     n_requests = int(os.environ.get("REQUESTS", "8"))  # per client
-    h, w = map(int, os.environ.get("SHAPE", "180x320").split("x"))
+    shapes = [
+        tuple(int(v) for v in s.split("x"))
+        for s in os.environ.get("SHAPE", "180x320").split(",")
+    ]
+    h, w = shapes[0]
     max_batch = int(os.environ.get("MAX_BATCH", "8"))
     max_wait_ms = float(os.environ.get("MAX_WAIT_MS", "5"))
 
@@ -75,35 +87,56 @@ def main() -> None:
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    # One deterministic LR frame, PNG-encoded once; every request posts
-    # the same bytes (the server decodes per request — that cost is real).
+    # One deterministic LR frame per shape, PNG-encoded once; every request
+    # posts those bytes (the server decodes per request — that cost is real).
     rng = np.random.default_rng(0)
-    frame = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(frame).save(buf, format="PNG")
-    body = buf.getvalue()
+    bodies = []
+    for sh, sw in shapes:
+        frame = rng.integers(0, 256, size=(sh, sw, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, format="PNG")
+        bodies.append(buf.getvalue())
     url = f"http://127.0.0.1:{port}/upscale"
 
-    def post() -> bytes:
+    def post(body: bytes) -> bytes:
         req = urllib.request.Request(
             url, data=body, headers={"Content-Type": "application/octet-stream"}
         )
         with urllib.request.urlopen(req, timeout=600) as resp:
             return resp.read()
 
-    # Warmup: compile the bucket shape and verify the output decodes.
-    out = Image.open(io.BytesIO(post()))
-    assert out.size == (4 * w, 4 * h), out.size
+    # Pre-warm every shape the way serve.py's startup ladder does — one
+    # compiled program per bucket shape, at the batch the traffic will hit.
+    for sh, sw in shapes:
+        print(f"# warming {sh}x{sw}", file=sys.stderr, flush=True)
+        engine.upscale_images(
+            [np.zeros((sh, sw, 3), np.uint8)],
+            batch_size=max_batch, pad_singletons=True,
+        )
+    # Verify one request per shape decodes (these may still share warm
+    # programs; compile counting starts AFTER this point).
+    for (sh, sw), body in zip(shapes, bodies):
+        out = Image.open(io.BytesIO(post(body)))
+        assert out.size == (4 * sw, 4 * sh), (out.size, sh, sw)
+
+    def engine_compiled_programs() -> int:
+        return (
+            engine._forward_u8._cache_size()
+            + engine._forward_u8_masked._cache_size()
+        )
+
+    compiled_before = engine_compiled_programs()
 
     lat_lock = threading.Lock()
     latencies: list = []
     errors: list = []
 
-    def client() -> None:
-        for _ in range(n_requests):
+    def client(cid: int) -> None:
+        for i in range(n_requests):
+            body = bodies[(cid + i) % len(bodies)]  # rotate shapes
             t0 = time.perf_counter()
             try:
-                post()
+                post(body)
             except Exception as e:  # noqa: BLE001 — record, don't crash the load
                 with lat_lock:
                     errors.append(repr(e))
@@ -117,7 +150,9 @@ def main() -> None:
             f"http://127.0.0.1:{port}/stats", timeout=60
         ).read()
     )
-    threads = [threading.Thread(target=client) for _ in range(concurrency)]
+    threads = [
+        threading.Thread(target=client, args=(c,)) for c in range(concurrency)
+    ]
     t0 = time.perf_counter()
     for t in threads:
         t.start()
@@ -136,10 +171,14 @@ def main() -> None:
     lat_ms = np.sort(np.asarray(latencies)) * 1e3
     d_req = stats1["requests"] - stats0["requests"]
     d_batches = max(1, stats1["batches"] - stats0["batches"])
+    shape_tag = "_".join(f"{sh}x{sw}" for sh, sw in shapes)
     result = {
-        "metric": f"serve_rps_{h}x{w}_c{concurrency}",
+        "metric": f"serve_rps_{shape_tag}_c{concurrency}",
         "value": round(total / elapsed, 2),
         "unit": "req/s",
+        # jit cache-size delta across the load phase: 0 proves no request
+        # paid a mid-request compile (the warm ladder covered the traffic)
+        "cold_compiles": engine_compiled_programs() - compiled_before,
         "p50_ms": round(float(lat_ms[total // 2]), 1),
         "p90_ms": round(float(lat_ms[int(total * 0.9)]), 1),
         "p99_ms": round(float(lat_ms[min(total - 1, int(total * 0.99))]), 1),
