@@ -8,8 +8,10 @@ native:
 	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libfastsr_loader.so \
 	    csrc/fastsr_loader.cpp -lpthread
 
-# Full suite: the merge gate (compile-dominated; measured 2026-08-18 on
-# this single-core box: see test-quick for the per-commit tier).
+# Full suite: the merge gate (compile-dominated). Measured 2026-08-19 on
+# this single-core box: 323 tests, all passing, 38m07s — and that run
+# shared the core with concurrent TPU benchmarking, so ~25-35 min is the
+# realistic unloaded budget. See test-quick for the per-commit tier.
 test:
 	python -m pytest tests/ -x -q
 

@@ -48,9 +48,11 @@ opt-in (``SRInferenceEngine(quantize=True)``, ``infer.py --int8``,
 ``serve.py --int8``); training and checkpoints stay fp32 (the reference's
 numerics, /root/reference/trainer.py, are never quantized).
 
-Not supported in this tier (falls back to bf16): the masked/bucketed exact
-forward (valid_hw) — per-sample masked int8 statistics are possible but not
-yet built — and the Pallas stem.
+Not supported in this tier: the masked/bucketed exact forward (valid_hw) —
+per-sample masked int8 statistics are possible but not yet built — and the
+Pallas stem. The engine rejects those combinations loudly
+(``SRInferenceEngine`` raises; ``serve.py --int8`` therefore serves
+unbucketed, one compiled program per distinct request size).
 """
 
 from __future__ import annotations
