@@ -148,9 +148,9 @@ class SRInferenceEngine:
         tail-only policy (see the inline note in `__init__`; 'full' and
         'trunk' selectable for experiments). Inference-only; quality bound
         measured in tests/test_quant.py and scripts/eval_int8.py.
-        Incompatible with `bucket` (the masked forward needs per-sample
-        masked statistics the int8 tier does not implement — serve.py
-        --int8 therefore runs unbucketed) and with `use_pallas`.
+        Composes with `bucket` in tail mode (the masked float trunk +
+        int8 tail with pad re-zeroing — quant.sr_quant_forward_masked);
+        'full'/'trunk' with bucket, and `use_pallas`, are rejected.
       act_scales: precomputed activation scales (quant.calibrate_scales).
         They are jit *inputs*, so :meth:`recalibrate` never recompiles.
       calib_batches: iterable of sample inputs ([-1,1] float NHWC/HWC or
@@ -234,12 +234,12 @@ class SRInferenceEngine:
                     f"quantize must be True/'tail'/'full'/'trunk': {mode!r}"
                 )
             self.quantize_mode = mode
-            if bucket:
+            if bucket and mode != "tail":
                 raise ValueError(
-                    "int8 inference does not support the bucketed (masked) "
-                    "forward — per-sample masked activation statistics are "
-                    "not implemented (quant.py module docstring). Use "
-                    "bucket=0: one compiled program per distinct shape."
+                    "bucketed (masked) int8 requires the tail-only mode: "
+                    "the trunk must stay float for per-sample masked "
+                    "instance-norm statistics (quant.sr_quant_forward_"
+                    "masked). Use quantize=True/'tail', or bucket=0."
                 )
             if use_pallas:
                 raise ValueError(
@@ -268,10 +268,17 @@ class SRInferenceEngine:
                 "s": dict(act_scales),
             }
             glue = dtype
+            qmodel = self.model
 
-            def _quant_apply(p, x):
-                return quant.sr_quant_forward(
-                    p["q"], p["s"], x, scale_factor, glue_dtype=glue
+            def _quant_apply(p, x, valid_hw=None):
+                if valid_hw is None:
+                    return quant.sr_quant_forward(
+                        p["q"], p["s"], x, scale_factor, glue_dtype=glue
+                    )
+                # Bucketed-exact path (tail mode only): canonical masked
+                # float trunk + int8 tail with pad re-zeroing.
+                return quant.sr_quant_forward_masked(
+                    qmodel, p["q"], p["s"], x, valid_hw, glue_dtype=glue
                 )
 
             self._apply = _quant_apply

@@ -48,11 +48,12 @@ opt-in (``SRInferenceEngine(quantize=True)``, ``infer.py --int8``,
 ``serve.py --int8``); training and checkpoints stay fp32 (the reference's
 numerics, /root/reference/trainer.py, are never quantized).
 
-Not supported in this tier: the masked/bucketed exact forward (valid_hw) —
-per-sample masked int8 statistics are possible but not yet built — and the
-Pallas stem. The engine rejects those combinations loudly
-(``SRInferenceEngine`` raises; ``serve.py --int8`` therefore serves
-unbucketed, one compiled program per distinct request size).
+The masked/bucketed exact forward composes with the TAIL-ONLY mode
+(:func:`sr_quant_forward_masked`): the trunk runs the canonical masked
+float path (per-sample valid-region IN statistics) and the int8 tail
+re-zeros padding like ops/lr_tail.py — so ``serve.py --int8`` buckets
+exactly like bf16 serving. Masked 'full'/'trunk' modes and the Pallas stem
+remain unsupported and are rejected loudly by ``SRInferenceEngine``.
 """
 
 from __future__ import annotations
@@ -242,19 +243,30 @@ def _trunk(p, ex, x):
     return b + r
 
 
-def _stage_conv(p, ex, x, name, leaf):
-    """One upsample-stage conv at LR: conv + bias + PReLU (pre-shuffle)."""
+def _stage_conv(p, ex, x, name, leaf, mask=None):
+    """One upsample-stage conv at LR: conv + bias [+ pad re-zero] + PReLU
+    (pre-shuffle). Mask semantics follow ops/lr_tail.py: re-zero after the
+    bias (padding must stay exactly zero — PReLU keeps zeros zero)."""
     dt = ex.glue
     a = ex.conv(x, name, leaf["conv"], PAD1)
     a = a + leaf["conv"]["bias"].astype(dt)
+    if mask is not None:
+        a = a * mask
     return _prelu(a, leaf["relu"]["alpha"], dt)
 
 
 def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
-             n0="up0", n1="up1"):
-    """The 4x LR-domain tail (ops/lr_tail.py transform), executor-driven."""
+             n0="up0", n1="up1", mask=None):
+    """The 4x LR-domain tail (ops/lr_tail.py transform), executor-driven.
+
+    ``mask`` enables the exact zero-pad-masked path (one LR mask serves
+    every stage — the whole tail stays at LR; masked zeros quantize to
+    int8 zero exactly, so the int8 convs see the same zeros the unpadded
+    program's conv padding provides)."""
     dt = ex.glue
-    a1 = _stage_conv(p, ex, y, n0, p[up0])  # [B,H,W,4F]
+    if mask is not None:
+        mask = mask.astype(dt)
+    a1 = _stage_conv(p, ex, y, n0, p[up0], mask=mask)  # [B,H,W,4F]
 
     # Stage 2: four per-phase conv2x2s sharing one input quantization.
     leaf = p[up1]["conv"]
@@ -277,6 +289,8 @@ def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
         ]
     b2 = leaf["bias"].astype(dt)
     a2 = jnp.concatenate([ph + b2 for ph in phases], axis=-1)
+    if mask is not None:
+        a2 = a2 * mask
     a2 = _prelu(a2, p[up1]["relu"]["alpha"], dt)
 
     z = ex.conv(
@@ -289,9 +303,11 @@ def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
     return pixel_shuffle_nhwc(z, 4)
 
 
-def _tail_2x(p, ex, y):
+def _tail_2x(p, ex, y, mask=None):
     dt = ex.glue
-    a1 = _stage_conv(p, ex, y, "up0", p["upsampling_0"])
+    if mask is not None:
+        mask = mask.astype(dt)
+    a1 = _stage_conv(p, ex, y, "up0", p["upsampling_0"], mask=mask)
     z = ex.conv(
         a1, "head", p["head_conv"], PAD1,
         kernel_tf=_head_kernel_2x,
@@ -302,17 +318,24 @@ def _tail_2x(p, ex, y):
     return pixel_shuffle_nhwc(z, 2)
 
 
-def _tail_8x(p, ex, y):
+def _tail_8x(p, ex, y, mask=None):
     """Hierarchical (ops/lr_tail.py lr_tail_8x): stage 0 canonical to 2x,
-    then the 4x transform at 2x resolution with stage names shifted."""
+    then the 4x transform at 2x resolution with stage names shifted.
+    Masked: re-zero after stage-0 bias, then the 2x mask is the LR mask
+    with each pixel repeated 2x2 (ops/lr_tail.py lr_tail_8x docstring)."""
     dt = ex.glue
     a0 = ex.conv(y, "up0", p["upsampling_0"]["conv"], PAD1)
     a0 = a0 + p["upsampling_0"]["conv"]["bias"].astype(dt)
+    if mask is not None:
+        a0 = a0 * mask.astype(dt)
     a0 = pixel_shuffle_nhwc(a0, 2)
     y2 = _prelu(a0, p["upsampling_0"]["relu"]["alpha"], dt)
+    mask2 = None
+    if mask is not None:
+        mask2 = jnp.repeat(jnp.repeat(mask, 2, axis=1), 2, axis=2)
     return _tail_4x(
         p, ex, y2, up0="upsampling_1", up1="upsampling_2",
-        n0="up1", n1="up2",
+        n0="up1", n1="up2", mask=mask2,
     )
 
 
@@ -423,6 +446,53 @@ def calibration_batch_from_images(
         crop = im[y0 : y0 + ch, x0 : x0 + cw, :3].astype(np.float32)
         crops.append(crop / 127.5 - 1.0)
     return jnp.asarray(np.stack(crops))
+
+
+def sr_quant_forward_masked(
+    model,
+    qparams: Dict[str, Any],
+    act_scales: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    valid_hw,
+    glue_dtype: Any = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Masked (bucketed-exact) int8 forward for TAIL-ONLY quantized trees.
+
+    The trunk runs the canonical masked float forward (Generator
+    ``valid_hw`` semantics: per-sample valid-region instance-norm
+    statistics + pad re-zeroing — the hard part of masking, and exactly
+    why the masked tier requires the trunk unquantized), then the int8
+    LR-domain tail applies the same pad re-zeroing as ops/lr_tail.py's
+    masked path. Masked zeros quantize to int8 zero exactly (symmetric
+    scheme), so each valid output pixel equals the unpadded int8
+    program's up to float reassociation.
+
+    Args:
+      model: the Generator (provides trunk apply + scale_factor).
+      qparams: tree from ``quantize_generator_params(params,
+        only=is_tail_module)`` — raises if a trunk conv is quantized.
+      valid_hw: (valid_h, valid_w) int32 [B] arrays, as Generator takes.
+    """
+    p = qparams["params"] if "params" in qparams else qparams
+    if "qkernel" in p["neck_conv"]:
+        raise ValueError(
+            "masked int8 requires a float trunk: quantize with "
+            "only=is_tail_module (the per-sample masked instance-norm "
+            "statistics are float-path only)"
+        )
+    y = model.apply({"params": p}, x, trunk_only=True, valid_hw=valid_hw)
+    from fast_srgan_tpu.ops.norm import valid_mask_nhwc
+
+    mask, _ = valid_mask_nhwc(
+        y.shape[1], y.shape[2], valid_hw[0], valid_hw[1]
+    )
+    ex = _Exec(scales=act_scales, collect=None, glue_dtype=glue_dtype)
+    tail = {2: _tail_2x, 4: _tail_4x, 8: _tail_8x}.get(model.scale_factor)
+    if tail is None:
+        raise ValueError(
+            f"scale_factor must be 2, 4, or 8: {model.scale_factor}"
+        )
+    return tail(p, ex, y.astype(glue_dtype), mask=mask)
 
 
 def calibrate_scales(

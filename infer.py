@@ -101,7 +101,8 @@ def main(argv=None) -> None:
         "measured-optimal policy): int8 convs on the MXU for the LR-domain "
         "tail, activation scales calibrated on the first input images "
         "(videos use a synthetic calibration batch). Measured speed/quality "
-        "in scripts/eval_int8.py. Unbucketed/untiled only.",
+        "in scripts/eval_int8.py. Composes with --bucket (exact masked "
+        "path); not with --tile.",
     )
     parser.add_argument(
         "--tile", default=None, type=int,
@@ -146,14 +147,15 @@ def main(argv=None) -> None:
             "frames across devices, bucketing batches padded frames on one"
         )
     if args.int8:
-        if args.tile or args.bucket:
+        if args.tile:
             parser.error(
-                "--int8 supports neither --tile nor --bucket (the int8 tier "
-                "has no masked/sharded forward; quant.py module docstring)"
+                "--int8 does not support --tile (the int8 tier has no "
+                "sharded forward; quant.py module docstring). --bucket "
+                "works: the masked int8 path is exact."
             )
-        if tile or bucket:  # config-sourced values: ignore with a note
-            print("note: --int8 ignores config inference.tile/bucket")
-            tile, bucket = 0, 0
+        if tile:  # config-sourced value: ignore with a note
+            print("note: --int8 ignores config inference.tile")
+            tile = 0
     if args.video is not None:
         # Only reject EXPLICIT flags: a config carrying inference.tile/bucket
         # for directory runs must not break video invocations that never

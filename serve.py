@@ -61,10 +61,10 @@ def main() -> None:
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument(
         "--int8", action="store_true",
-        help="int8 PTQ serving (fast_srgan_tpu/quant.py). The int8 tier "
-        "has no masked forward, so this forces --bucket 0: one compiled "
-        "program per distinct request size — pair it with --warm listing "
-        "the sizes clients actually send. Activation scales calibrate on "
+        help="int8 PTQ serving (fast_srgan_tpu/quant.py, tail-only — the "
+        "measured-optimal policy). Buckets exactly like bf16 serving: the "
+        "masked int8 path runs the canonical masked float trunk + an int8 "
+        "LR tail with pad re-zeroing. Activation scales calibrate on "
         "--calib_dir images when given, else a synthetic batch.",
     )
     parser.add_argument(
@@ -99,16 +99,6 @@ def main() -> None:
     bucket = args.bucket
     calib = None
     if args.int8:
-        if args.bucket != parser.get_default("bucket") and args.bucket:
-            parser.error(
-                "--int8 has no masked forward, so it cannot serve bucketed; "
-                "drop --bucket (it is forced to 0 under --int8)"
-            )
-        if bucket:
-            print("int8: bucketing disabled (no masked int8 forward); one "
-                  "compiled program per distinct request size — list the "
-                  "expected sizes in --warm", flush=True)
-        bucket = 0
         if args.calib_dir:
             from fast_srgan_tpu.quant import calibration_batch_from_images
             from fast_srgan_tpu.utils.images import (

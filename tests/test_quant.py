@@ -152,14 +152,81 @@ class TestCalibrationHelpers:
         assert set(scales) and all(float(s) > 0 for s in scales.values())
 
 
+class TestMaskedInt8:
+    """Bucketed-exact int8: masked float trunk + int8 tail with pad
+    re-zeroing (quant.sr_quant_forward_masked)."""
+
+    @pytest.mark.parametrize("sf", [2, 4, 8])
+    def test_masked_equals_unmasked_on_valid_region(self, sf):
+        m, v, x = _small(sf)
+        scales = quant.calibrate_scales(v, [x], scale_factor=sf)
+        qtail = quant.quantize_generator_params(
+            v, only=quant.is_tail_module
+        )
+        ref = quant.sr_quant_forward(
+            qtail, scales, x, scale_factor=sf, glue_dtype=jnp.float32
+        )
+        # pad to a bigger canvas; the valid region must reproduce `ref`
+        xp = jnp.pad(x, ((0, 0), (0, 4), (0, 6), (0, 0)))
+        mdl = Generator(
+            n_filters=8, n_layers=2, dtype=jnp.float32, scale_factor=sf
+        )
+        vh = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        vw = jnp.full((x.shape[0],), x.shape[2], jnp.int32)
+        out = quant.sr_quant_forward_masked(
+            mdl, qtail, scales, xp, (vh, vw), glue_dtype=jnp.float32
+        )
+        crop = out[:, : ref.shape[1], : ref.shape[2], :]
+        np.testing.assert_allclose(
+            np.asarray(crop), np.asarray(ref), atol=5e-4
+        )
+
+    def test_masked_rejects_quantized_trunk(self):
+        m, v, x = _small(4)
+        scales = quant.calibrate_scales(v, [x], scale_factor=4)
+        qfull = quant.quantize_generator_params(v)
+        mdl = Generator(n_filters=8, n_layers=2, dtype=jnp.float32)
+        vh = jnp.full((2,), 12, jnp.int32)
+        vw = jnp.full((2,), 14, jnp.int32)
+        with pytest.raises(ValueError, match="float trunk"):
+            quant.sr_quant_forward_masked(
+                mdl, qfull, scales, x, (vh, vw), glue_dtype=jnp.float32
+            )
+
+    def test_engine_bucketed_int8_matches_unbucketed(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        plain = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            calib_batches=[x],
+        )
+        bucketed = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            bucket=16, calib_batches=[x],
+        )
+        rng = np.random.default_rng(3)
+        imgs = [
+            rng.integers(0, 256, (12, 14, 3), np.uint8),
+            rng.integers(0, 256, (9, 11, 3), np.uint8),
+        ]
+        outs_b = bucketed.upscale_images(imgs)  # one 16x16-bucket batch
+        for im, ob in zip(imgs, outs_b):
+            ref = plain.upscale_batch(im[None])[0]
+            assert ob.shape == ref.shape
+            # fp32 glue: identical up to reassociation across program
+            # shapes -> at most 1 uint8 count
+            assert np.abs(ob.astype(int) - ref.astype(int)).max() <= 1
+
+
 class TestEngineGuards:
-    def test_bucket_rejected(self):
+    def test_bucket_rejected_for_full_mode(self):
         from fast_srgan_tpu.inference import SRInferenceEngine
 
         m, v, _ = _small(4)
-        with pytest.raises(ValueError, match="masked"):
+        with pytest.raises(ValueError, match="tail-only"):
             SRInferenceEngine(
-                v, n_filters=8, n_layers=2, bucket=32, quantize=True
+                v, n_filters=8, n_layers=2, bucket=32, quantize="full"
             )
 
     def test_pallas_rejected(self):
