@@ -161,6 +161,18 @@ def main():
         "int8_trunk_only": jax.device_put(
             quant.quantize_generator_params(params, only=is_trunk)
         ),
+        # partial-tail arms: probe whether shrinking the int32 live set
+        # (the OOM driver) lets a bigger batch beat tail-only@88
+        "int8_ups_only": jax.device_put(
+            quant.quantize_generator_params(
+                params, only=lambda n: n.startswith("upsampling_")
+            )
+        ),
+        "int8_head_only": jax.device_put(
+            quant.quantize_generator_params(
+                params, only=lambda n: n == "head_conv"
+            )
+        ),
     }
     if args.arms:
         wanted = set(args.arms.split(","))

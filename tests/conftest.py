@@ -73,6 +73,7 @@ SLOW_NODE_PATTERNS = (
     "test_quant.py::TestEngineInt8",
     "test_quant.py::TestPretrainedBound",
     "test_quant.py::TestMaskedInt8",
+    "test_quant.py::TestEngineInt8Mesh",
     "test_fused_upsample.py",
     "test_fused_upsample_v2.py",
     "test_pixel_shuffle_kernel.py",

@@ -219,6 +219,31 @@ class TestMaskedInt8:
             assert np.abs(ob.astype(int) - ref.astype(int)).max() <= 1
 
 
+class TestEngineInt8Mesh:
+    """Data-parallel int8 serving: the quantized {q, s} tree replicates
+    over a mesh and batch-sharded execution matches single-device."""
+
+    def test_mesh_matches_single_device(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+
+        m, v, x = _small(4)
+        single = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            calib_batches=[x],
+        )
+        meshed = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            calib_batches=[x], mesh=make_mesh(8),
+        )
+        batch = np.random.default_rng(5).integers(
+            0, 256, (8, 12, 14, 3), np.uint8
+        )
+        a = single.upscale_batch(batch)
+        b = meshed.upscale_batch(batch)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestEngineGuards:
     def test_bucket_rejected_for_full_mode(self):
         from fast_srgan_tpu.inference import SRInferenceEngine
