@@ -42,13 +42,17 @@ REFERENCE_FPS = 27.0  # reference README.md:16-18 (180x320 -> 720p, M1 Pro)
 
 
 def run(
-    batch_size: int, frames: int, h: int, w: int, int8_tail: bool = False
+    batch_size: int, frames: int, h: int, w: int,
+    int8_mode: str | None = None,
 ) -> float:
     """One timed pass at a given batch size/shape; returns sustained FPS.
 
-    int8_tail: run the production int8 tier (tail-only quantization,
-    fast_srgan_tpu/quant.py — docs/DESIGN.md "int8 decision record";
-    measured 477.7 fps vs bf16's 463-465 at this shape, 38.75 dB vs fp32).
+    int8_mode: run the int8 PTQ tier (fast_srgan_tpu/quant.py —
+    docs/DESIGN.md "int8 decision record"). "ups" is the production
+    policy (upsampling stages int8, trunk+head float: 579.8 fps @112 vs
+    bf16's 463.7 @96 at this shape, 39.66 dB vs fp32); "tail" also
+    quantizes the head (477.2 fps @88 — its int32 head output caps the
+    batch; 38.75 dB) and is kept as the measured baseline.
     """
     # Round the request up to whole batches — fps counts frames actually
     # processed, so frames and the numerator must agree.
@@ -68,7 +72,7 @@ def run(
     model = Generator(
         n_filters=64, n_layers=8, dtype=jnp.bfloat16, use_pallas=use_pallas
     )
-    if int8_tail:
+    if int8_mode:
         import functools
 
         from fast_srgan_tpu import quant
@@ -77,10 +81,12 @@ def run(
             params, [quant.default_calibration_batch(h=96, w=160)],
             scale_factor=4,
         )
-        qtail = quant.quantize_generator_params(
-            params, only=quant.is_tail_module
-        )
-        params = {"q": qtail, "s": scales}
+        only = {
+            "ups": quant.is_ups_module,
+            "tail": quant.is_tail_module,
+        }[int8_mode]
+        qtree = quant.quantize_generator_params(params, only=only)
+        params = {"q": qtree, "s": scales}
 
         def apply_fn(p, x):
             return quant.sr_quant_forward(
@@ -221,10 +227,10 @@ def main() -> None:
         dict.fromkeys(b for b in (requested, 64, 16) if b <= requested)
     )
 
-    def measure(int8_tail: bool, cands) -> tuple:
+    def measure(int8_mode, cands) -> tuple:
         for batch_size in cands:
             try:
-                return run(batch_size, frames, h, w, int8_tail), batch_size
+                return run(batch_size, frames, h, w, int8_mode), batch_size
             except Exception as e:
                 # Only retry smaller on memory exhaustion; anything else
                 # (bad checkpoint, compile error) would fail at every size
@@ -235,25 +241,31 @@ def main() -> None:
                     raise
         raise RuntimeError("unreachable")
 
-    fps, batch = measure(False, candidates)
+    fps, batch = measure(None, candidates)
     arms = {f"bf16_b{batch}": round(fps, 2)}
     mode = "bf16"
-    # int8-tail arm (docs/DESIGN.md "int8 decision record"): the production
-    # quantized tier. Its int32 conv outputs raise the HBM watermark: at
-    # 180x320, batch 88 fits but 90 OOMs (measured, v5e) — a per-device
-    # LR-pixel cap of 88*180*320, applied per shape. The headline takes
-    # whichever arm measures faster; BENCH_INT8=0 skips the arm.
+    # int8 arm (docs/DESIGN.md "int8 decision record"): the production
+    # quantized tier, ups-only (upsampling stages int8, trunk+head float).
+    # Its int32 conv outputs raise the HBM watermark: at 180x320, batch 120
+    # fits but 128 OOMs (measured, v5e), and 112 is the measured optimum
+    # (579.8 fps vs 577.2 @120, 512.4 @104) — so the arm tries the
+    # ups-specific optimum first, capped by a per-device LR-pixel budget of
+    # 120*180*320 per shape. The headline takes whichever arm measures
+    # faster; BENCH_INT8=0 skips the arm.
     if os.environ.get("BENCH_INT8", "1") == "1":
-        i8_pixel_cap = 88 * 180 * 320
+        i8_pixel_cap = 120 * 180 * 320
         cap = max(1, i8_pixel_cap // (h * w))
+        i8_opt = int(os.environ.get("BENCH_INT8_BATCH", "112"))
         i8_cands = list(
-            dict.fromkeys(min(b, cap) for b in candidates)
+            dict.fromkeys(
+                min(b, cap) for b in (i8_opt, *candidates)
+            )
         )
         try:
-            fps8, batch8 = measure(True, i8_cands)
-            arms[f"int8tail_b{batch8}"] = round(fps8, 2)
+            fps8, batch8 = measure("ups", i8_cands)
+            arms[f"int8ups_b{batch8}"] = round(fps8, 2)
             if fps8 > fps:
-                fps, mode = fps8, "int8_tail"
+                fps, mode = fps8, "int8_ups"
         except Exception as e:
             # the int8 arm must never forfeit the bf16 measurement
             print(f"# int8 arm failed: {e}", file=__import__("sys").stderr)
@@ -271,9 +283,10 @@ def main() -> None:
         "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
         "mode": mode,
         "arms": arms,
-        # quality bound of the int8_tail arm vs fp32 (uint8 output domain,
-        # scripts/eval_int8.py + tests/test_quant.py::TestPretrainedBound)
-        "int8_tail_psnr_vs_fp32_db": 38.75,
+        # quality bound of the int8 (ups-only) arm vs fp32 (uint8 output
+        # domain, scripts/eval_int8.py psnr_by_arm +
+        # tests/test_quant.py::TestPretrainedBound)
+        "int8_ups_psnr_vs_fp32_db": 39.66,
     }
     print(json.dumps(result))
 

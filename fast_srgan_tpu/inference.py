@@ -145,12 +145,14 @@ class SRInferenceEngine:
         int8xint8->int32 convs on the MXU with per-output-channel weight
         scales and calibrated static per-tensor activation scales; the
         float glue between convs uses `dtype`. True = the measured-optimal
-        tail-only policy (see the inline note in `__init__`; 'full' and
-        'trunk' selectable for experiments). Inference-only; quality bound
+        ups-only policy — upsampling stages int8, trunk AND head float
+        (see the inline note in `__init__`; 'tail'/'full'/'trunk'
+        selectable as measured baselines). Inference-only; quality bound
         measured in tests/test_quant.py and scripts/eval_int8.py.
-        Composes with `bucket` in tail mode (the masked float trunk +
-        int8 tail with pad re-zeroing — quant.sr_quant_forward_masked);
-        'full'/'trunk' with bucket, and `use_pallas`, are rejected.
+        Composes with `bucket` in the float-trunk modes (ups/tail: the
+        masked float trunk + int8 tail with pad re-zeroing —
+        quant.sr_quant_forward_masked); 'full'/'trunk' with bucket, and
+        `use_pallas`, are rejected.
       act_scales: precomputed activation scales (quant.calibrate_scales).
         They are jit *inputs*, so :meth:`recalibrate` never recompiles.
       calib_batches: iterable of sample inputs ([-1,1] float NHWC/HWC or
@@ -219,27 +221,34 @@ class SRInferenceEngine:
         self.quantize = bool(quantize)
         if quantize:
             # True selects the measured-optimal policy: quantize only the
-            # LR tail (upsampling stages + head). Measured on v5e
-            # (scripts/eval_int8.py, 2026-08-19, batch 88 at 180x320):
-            # tail-only 477.7 fps vs bf16 424.8 (1.12x) — the wide no-IN
-            # tail convs ride the 2x int8 MXU rate — while quantizing the
-            # IN-glued 64-ch trunk LOSES (trunk-only 366.9, full int8
-            # 405.2: the float glue keeps activations at bf16 width, so
-            # the trunk's convs gain nothing and pay the quantize passes).
-            # Tail-only also quantizes fewer layers => higher fidelity.
-            # "full"/"trunk" remain selectable for experiments.
-            mode = "tail" if quantize is True else str(quantize)
-            if mode not in ("tail", "full", "trunk"):
+            # upsampling stages (the LR tail minus the head conv).
+            # Measured on v5e (scripts/eval_int8.py, 2026-08-19, 180x320):
+            # the wide no-IN tail convs ride the 2x int8 MXU rate, so
+            # tail-only beat bf16 (477.2 fps @88 vs 463.7 @96) — but the
+            # int8 head's int32 conv output is the widest live buffer and
+            # caps the batch at 88. Keeping the head float ("ups") lifts
+            # the cap (512.4 fps @104) AND raises fidelity (39.66 dB vs
+            # fp32 against tail-only's 38.75: one fewer quantized layer).
+            # Quantizing the IN-glued 64-ch trunk LOSES (trunk-only 366.9,
+            # full int8 405.2: the float glue keeps activations at bf16
+            # width, so the trunk's convs gain nothing and pay the
+            # quantize passes). "tail"/"full"/"trunk" remain selectable
+            # as measured baselines (docs/DESIGN.md "int8 decision
+            # record").
+            mode = "ups" if quantize is True else str(quantize)
+            if mode not in ("tail", "ups", "full", "trunk"):
                 raise ValueError(
-                    f"quantize must be True/'tail'/'full'/'trunk': {mode!r}"
+                    "quantize must be True/'tail'/'ups'/'full'/'trunk': "
+                    f"{mode!r}"
                 )
             self.quantize_mode = mode
-            if bucket and mode != "tail":
+            if bucket and mode not in ("tail", "ups"):
                 raise ValueError(
-                    "bucketed (masked) int8 requires the tail-only mode: "
-                    "the trunk must stay float for per-sample masked "
-                    "instance-norm statistics (quant.sr_quant_forward_"
-                    "masked). Use quantize=True/'tail', or bucket=0."
+                    "bucketed (masked) int8 requires a float trunk "
+                    "(tail/ups modes): per-sample masked instance-norm "
+                    "statistics are float-path only (quant.sr_quant_"
+                    "forward_masked). Use quantize=True/'tail'/'ups', "
+                    "or bucket=0."
                 )
             if use_pallas:
                 raise ValueError(
@@ -258,6 +267,7 @@ class SRInferenceEngine:
                 )
             only = {
                 "tail": quant.is_tail_module,
+                "ups": quant.is_ups_module,
                 "trunk": quant.is_trunk_module,
                 "full": None,
             }[mode]

@@ -9,11 +9,16 @@ probe at the generator's body shape (96x180x320x64, 3x3 convs, NHWC)
 measured **1.82x** over bf16 with the full requantize epilogue (rescale,
 round, clip, cast) fused in for free — but only 1.37x once float glue sits
 between the convs, and end-to-end the win survives ONLY in the LR-domain
-tail: full-graph int8 measures 0.87x, trunk-only 0.79x, tail-only **1.12x**
-(477.7 fps vs the bf16 headline's 463–465; the reconciled three-round story
-is docs/DESIGN.md "int8 decision record"). The production policy is
-therefore tail-only (``SRInferenceEngine(quantize=True)``); the full and
-trunk modes remain selectable as measured negative baselines.
+tail: full-graph int8 measures 0.87x, trunk-only 0.79x, tail-only 1.12x,
+and **ups-only** (upsampling stages int8, trunk AND head float) **1.25x**
+— 579.8 fps at batch 112 vs the bf16 headline's 463.7 at 96. Keeping the
+head float shrinks the program's widest live int32 buffer (the 1024-ch
+LR-domain head output), lifting the OOM batch cap from 88 to 120, and
+quantizes one fewer layer, raising fidelity (39.66 dB vs tail-only's
+38.75). The reconciled three-round story is docs/DESIGN.md "int8 decision
+record". The production policy is therefore ups-only
+(``SRInferenceEngine(quantize=True)``); the tail/full/trunk modes remain
+selectable as measured baselines.
 
 Scheme — standard static PTQ, shaped to this network:
 
@@ -48,12 +53,14 @@ opt-in (``SRInferenceEngine(quantize=True)``, ``infer.py --int8``,
 ``serve.py --int8``); training and checkpoints stay fp32 (the reference's
 numerics, /root/reference/trainer.py, are never quantized).
 
-The masked/bucketed exact forward composes with the TAIL-ONLY mode
-(:func:`sr_quant_forward_masked`): the trunk runs the canonical masked
-float path (per-sample valid-region IN statistics) and the int8 tail
-re-zeros padding like ops/lr_tail.py — so ``serve.py --int8`` buckets
-exactly like bf16 serving. Masked 'full'/'trunk' modes and the Pallas stem
-remain unsupported and are rejected loudly by ``SRInferenceEngine``.
+The masked/bucketed exact forward composes with any FLOAT-TRUNK mode
+(ups/tail; :func:`sr_quant_forward_masked`): the trunk runs the canonical
+masked float path (per-sample valid-region IN statistics) and the int8
+tail re-zeros padding like ops/lr_tail.py — the executor dispatches per
+leaf, so the ups tree's float head simply runs as a float conv. Thus
+``serve.py --int8`` buckets exactly like bf16 serving. Masked
+'full'/'trunk' modes and the Pallas stem remain unsupported and are
+rejected loudly by ``SRInferenceEngine``.
 """
 
 from __future__ import annotations
@@ -90,6 +97,17 @@ def is_trunk_module(name: str) -> bool:
 def is_tail_module(name: str) -> bool:
     """Tail = the LR-domain upsampling stages + head (wide, no IN)."""
     return name.startswith("upsampling_") or name == "head_conv"
+
+
+def is_ups_module(name: str) -> bool:
+    """Upsampling stages only (the tail minus the head conv).
+
+    The head's int8 form is what caps the tail-only batch at 88 on v5e
+    (its int32 conv output is the widest live int32 buffer); keeping the
+    head float lets the bf16-optimal batch 96 fit, and quantizing one
+    fewer layer can only raise fidelity. scripts/eval_int8.py measures
+    the trade (docs/DESIGN.md "int8 decision record")."""
+    return name.startswith("upsampling_")
 
 
 def _quantize_kernel(k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

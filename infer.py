@@ -97,9 +97,9 @@ def main(argv=None) -> None:
     )
     parser.add_argument(
         "--int8", action="store_true",
-        help="int8 PTQ inference (fast_srgan_tpu/quant.py, tail-only — the "
+        help="int8 PTQ inference (fast_srgan_tpu/quant.py, ups-only — the "
         "measured-optimal policy): int8 convs on the MXU for the LR-domain "
-        "tail, activation scales calibrated on the first input images "
+        "upsampling stages, activation scales calibrated on the first input images "
         "(videos use a synthetic calibration batch). Measured speed/quality "
         "in scripts/eval_int8.py. Composes with --bucket (exact masked "
         "path); not with --tile.",

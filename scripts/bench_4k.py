@@ -27,7 +27,7 @@ docs/DESIGN.md "int8 decision record").
 
 Usage: python scripts/bench_4k.py [--int8] [BENCH_FRAMES=64]
 
---int8 measures the production quantized tier instead (tail-only int8,
+--int8 measures the production quantized tier instead (ups-only int8,
 fast_srgan_tpu/quant.py — docs/DESIGN.md "int8 decision record").
 """
 
@@ -73,7 +73,7 @@ def main() -> None:
         )
         params = {
             "q": quant.quantize_generator_params(
-                params, only=quant.is_tail_module
+                params, only=quant.is_ups_module
             ),
             "s": scales,
         }
@@ -83,7 +83,7 @@ def main() -> None:
                 p["q"], p["s"], x, scale_factor=4, glue_dtype=jnp.bfloat16
             )
 
-        print("arm: int8 (tail-only PTQ)")
+        print("arm: int8 (ups-only PTQ — the production policy)")
     else:
         apply_fn = functools.partial(generator_apply_lr_tail, model)
     params = jax.device_put(params)

@@ -109,6 +109,7 @@ def main():
 
     psnr = psnr_of(qparams)
     psnr_tail = psnr_of(qtail)
+    psnr_by_arm = {"int8": psnr, "int8_tail_only": psnr_tail}
 
     # --- speed: bf16 LR-tail (production) vs int8 ---------------------------
     glue = jnp.bfloat16 if args.glue == "bfloat16" else jnp.float32
@@ -139,7 +140,6 @@ def main():
 
     rng = np.random.default_rng(0)
     params_d = jax.device_put(params)
-    qparams_d = jax.device_put(qparams)
     scales_d = jax.device_put(scales)
 
     def arm(fn, args_of_x, b):
@@ -155,31 +155,39 @@ def main():
             raise
         return {"ms": round(ms, 2), "fps": round(b / ms * 1e3, 1)}
 
-    trees = {
-        "int8": qparams_d,
-        "int8_tail_only": jax.device_put(qtail),
-        "int8_trunk_only": jax.device_put(
-            quant.quantize_generator_params(params, only=is_trunk)
-        ),
-        # partial-tail arms: probe whether shrinking the int32 live set
-        # (the OOM driver) lets a bigger batch beat tail-only@88
-        "int8_ups_only": jax.device_put(
-            quant.quantize_generator_params(
-                params, only=lambda n: n.startswith("upsampling_")
-            )
-        ),
-        "int8_head_only": jax.device_put(
-            quant.quantize_generator_params(
-                params, only=lambda n: n == "head_conv"
-            )
-        ),
-    }
     if args.arms:
         wanted = set(args.arms.split(","))
     else:
         wanted = {"bf16", "int8", "int8_tail_only"}
         if args.hybrids:
             wanted.add("int8_trunk_only")
+    # Hybrid/partial arms (per-leaf executor dispatch). The partial-tail
+    # arms probe whether shrinking the int32 live set (the OOM driver)
+    # lets a bigger batch beat tail-only@88.
+    host_trees = {
+        "int8": qparams,
+        "int8_tail_only": qtail,
+        "int8_trunk_only": quant.quantize_generator_params(
+            params, only=is_trunk
+        ),
+        "int8_ups_only": quant.quantize_generator_params(
+            params, only=lambda n: n.startswith("upsampling_")
+        ),
+        "int8_head_only": quant.quantize_generator_params(
+            params, only=lambda n: n == "head_conv"
+        ),
+    }
+    # fidelity of every requested int8 arm (fp32 glue, uint8 output domain)
+    psnr_by_arm = {
+        name: round(psnr_by_arm.get(name) or psnr_of(tree), 2)
+        for name, tree in host_trees.items()
+        if name in wanted
+    }
+    trees = {
+        name: jax.device_put(tree)
+        for name, tree in host_trees.items()
+        if name in wanted
+    }
     batches = [int(b) for b in str(args.batch).split(",")]
     arms = {}
     for b in batches:
@@ -203,6 +211,7 @@ def main():
         "glue": args.glue,
         "psnr_int8_vs_fp32_u8_db": round(psnr, 2),
         "psnr_int8_tail_only_vs_fp32_u8_db": round(psnr_tail, 2),
+        "psnr_by_arm": psnr_by_arm,
         "arms": arms,
         "best_fps_bf16": fb,
         "best_fps_int8": fi,

@@ -61,10 +61,10 @@ def main() -> None:
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument(
         "--int8", action="store_true",
-        help="int8 PTQ serving (fast_srgan_tpu/quant.py, tail-only — the "
+        help="int8 PTQ serving (fast_srgan_tpu/quant.py, ups-only — the "
         "measured-optimal policy). Buckets exactly like bf16 serving: the "
-        "masked int8 path runs the canonical masked float trunk + an int8 "
-        "LR tail with pad re-zeroing. Activation scales calibrate on "
+        "masked int8 path runs the canonical masked float trunk + int8 "
+        "upsampling stages with pad re-zeroing. Activation scales calibrate on "
         "--calib_dir images when given, else a synthetic batch.",
     )
     parser.add_argument(

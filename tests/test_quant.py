@@ -156,13 +156,14 @@ class TestMaskedInt8:
     """Bucketed-exact int8: masked float trunk + int8 tail with pad
     re-zeroing (quant.sr_quant_forward_masked)."""
 
-    @pytest.mark.parametrize("sf", [2, 4, 8])
-    def test_masked_equals_unmasked_on_valid_region(self, sf):
+    @pytest.mark.parametrize(
+        "sf,only", [(2, quant.is_tail_module), (4, quant.is_tail_module),
+                    (8, quant.is_tail_module), (4, quant.is_ups_module)]
+    )
+    def test_masked_equals_unmasked_on_valid_region(self, sf, only):
         m, v, x = _small(sf)
         scales = quant.calibrate_scales(v, [x], scale_factor=sf)
-        qtail = quant.quantize_generator_params(
-            v, only=quant.is_tail_module
-        )
+        qtail = quant.quantize_generator_params(v, only=only)
         ref = quant.sr_quant_forward(
             qtail, scales, x, scale_factor=sf, glue_dtype=jnp.float32
         )
@@ -193,16 +194,17 @@ class TestMaskedInt8:
                 mdl, qfull, scales, x, (vh, vw), glue_dtype=jnp.float32
             )
 
-    def test_engine_bucketed_int8_matches_unbucketed(self):
+    @pytest.mark.parametrize("mode", ["ups", "tail"])
+    def test_engine_bucketed_int8_matches_unbucketed(self, mode):
         from fast_srgan_tpu.inference import SRInferenceEngine
 
         m, v, x = _small(4)
         plain = SRInferenceEngine(
-            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=mode,
             calib_batches=[x],
         )
         bucketed = SRInferenceEngine(
-            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=mode,
             bucket=16, calib_batches=[x],
         )
         rng = np.random.default_rng(3)
@@ -249,7 +251,7 @@ class TestEngineGuards:
         from fast_srgan_tpu.inference import SRInferenceEngine
 
         m, v, _ = _small(4)
-        with pytest.raises(ValueError, match="tail-only"):
+        with pytest.raises(ValueError, match="float trunk"):
             SRInferenceEngine(
                 v, n_filters=8, n_layers=2, bucket=32, quantize="full"
             )
@@ -372,7 +374,7 @@ class TestEngineInt8:
             np.asarray(eng.upscale_float(x)), np.asarray(direct), atol=1e-5
         )
 
-    def test_default_mode_is_tail_only(self):
+    def test_default_mode_is_ups_only(self):
         from fast_srgan_tpu.inference import SRInferenceEngine
 
         m, v, x = _small(4)
@@ -380,15 +382,15 @@ class TestEngineInt8:
             v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
             calib_batches=[x],
         )
-        assert eng.quantize_mode == "tail"
+        assert eng.quantize_mode == "ups"
         q = eng.params["q"]
-        # trunk stays float, tail is int8
+        # trunk AND head stay float, upsampling stages are int8
         assert "kernel" in q["neck_conv"] and "kernel" in q["stem_0"]["conv1"]
-        assert q["head_conv"]["qkernel"].dtype == jnp.int8
+        assert "kernel" in q["head_conv"]
         assert q["upsampling_0"]["conv"]["qkernel"].dtype == jnp.int8
         direct = quant.sr_quant_forward(
             quant.quantize_generator_params(
-                v, only=quant.is_tail_module
+                v, only=quant.is_ups_module
             ),
             quant.calibrate_scales(v, [x], scale_factor=4), x,
             scale_factor=4, glue_dtype=jnp.float32,
@@ -396,6 +398,19 @@ class TestEngineInt8:
         np.testing.assert_allclose(
             np.asarray(eng.upscale_float(x)), np.asarray(direct), atol=1e-5
         )
+
+    def test_tail_mode_selectable(self):
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        eng = SRInferenceEngine(
+            v, n_filters=8, n_layers=2, dtype=jnp.float32, quantize="tail",
+            calib_batches=[x],
+        )
+        assert eng.quantize_mode == "tail"
+        q = eng.params["q"]
+        assert q["head_conv"]["qkernel"].dtype == jnp.int8
+        assert q["upsampling_0"]["conv"]["qkernel"].dtype == jnp.int8
 
     def test_bad_mode_rejected(self):
         from fast_srgan_tpu.inference import SRInferenceEngine
@@ -423,14 +438,27 @@ class TestPretrainedBound:
         x = quant.default_calibration_batch(h=48, w=64, n=2, seed=3)
         ref = quant.sr_float_forward(params, x, scale_factor=4)
         scales = quant.calibrate_scales(params, [x], scale_factor=4)
-        out = quant.sr_quant_forward(
-            quant.quantize_generator_params(params), scales, x,
-            scale_factor=4, glue_dtype=jnp.float32,
-        )
         # uint8 output domain, like serving
         to_u8 = lambda y: np.clip(
             (np.asarray(y, np.float32) + 1) * 127.5, 0, 255
         )
-        mse = float(np.mean((to_u8(ref) - to_u8(out)) ** 2))
-        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
-        assert psnr > 33.0, f"int8 vs fp32 PSNR {psnr:.2f} dB below bound"
+
+        def psnr_of(only):
+            out = quant.sr_quant_forward(
+                quant.quantize_generator_params(params, only=only),
+                scales, x, scale_factor=4, glue_dtype=jnp.float32,
+            )
+            mse = float(np.mean((to_u8(ref) - to_u8(out)) ** 2))
+            return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+        psnr_full = psnr_of(None)
+        assert psnr_full > 33.0, (
+            f"full int8 vs fp32 PSNR {psnr_full:.2f} dB below bound"
+        )
+        # the production policy (engine quantize=True): ups-only —
+        # measured 39.66 dB on chip at 96x160 (scripts/eval_int8.py)
+        psnr_ups = psnr_of(quant.is_ups_module)
+        assert psnr_ups > 37.0, (
+            f"ups-only int8 vs fp32 PSNR {psnr_ups:.2f} dB below bound"
+        )
+        assert psnr_ups > psnr_full  # fewer quantized layers, higher fidelity
