@@ -36,10 +36,19 @@ def build_forward_u8(
     scale_factor: int = 4,
     bf16: bool = True,
     lr_tail: bool = True,
+    quantize: bool = False,
+    calib_batches: Optional[Sequence[Any]] = None,
 ):
     """The engine's uint8->uint8 forward (SRInferenceEngine._forward_u8
     semantics: /127.5-1 in, LR-tail generator, uint8 out) with the params
-    baked in as closure constants — the self-contained deployable fn."""
+    baked in as closure constants — the self-contained deployable fn.
+
+    quantize: bake the production int8 PTQ tier instead (ups-only policy,
+    fast_srgan_tpu/quant.py — the engine's ``quantize=True``): the int8
+    kernels, dequant scales, AND calibrated activation scales all become
+    artifact constants, so the deployment unit needs no calibration at
+    load time. ``calib_batches`` (sample inputs, as the engine takes)
+    sets the activation scales; default: one synthetic batch."""
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +60,23 @@ def build_forward_u8(
         scale_factor=scale_factor,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
-    if lr_tail:
+    if quantize:
+        from fast_srgan_tpu import quant
+
+        glue = jnp.bfloat16 if bf16 else jnp.float32
+        if calib_batches is None:
+            calib_batches = [quant.default_calibration_batch()]
+        scales = quant.calibrate_scales(params, calib_batches, scale_factor)
+        qtree = quant.quantize_generator_params(
+            params, only=quant.is_ups_module
+        )
+        params = {"q": qtree, "s": dict(scales)}
+
+        def apply(p, x):
+            return quant.sr_quant_forward(
+                p["q"], p["s"], x, scale_factor, glue_dtype=glue
+            )
+    elif lr_tail:
         from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail
 
         def apply(p, x):
@@ -94,6 +119,7 @@ def save_exported_dir(
     arch: Dict[str, int],
     bf16: bool,
     lr_tail: bool,
+    quantize: bool = False,
 ) -> str:
     """Write manifest.json + one .stablehlo blob per (shape, exported).
 
@@ -126,6 +152,7 @@ def save_exported_dir(
         "arch": arch,
         "bf16": bf16,
         "lr_tail": lr_tail,
+        "quantize": quantize,  # int8 PTQ tier baked in (ups-only policy)
         "entries": table,
     }
     path = os.path.join(out_dir, MANIFEST)

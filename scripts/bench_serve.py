@@ -71,6 +71,7 @@ def main() -> None:
     max_batch = int(os.environ.get("MAX_BATCH", "8"))
     max_wait_ms = float(os.environ.get("MAX_WAIT_MS", "5"))
 
+    int8 = os.environ.get("INT8", "0") == "1"  # serve.py --int8 equivalent
     params = load_generator_params(resolve_default_checkpoint())
     arch = arch_from_params(params)
     engine = SRInferenceEngine(
@@ -80,6 +81,7 @@ def main() -> None:
         scale_factor=arch["scale_factor"],
         dtype=jnp.bfloat16,
         bucket=32,
+        quantize=int8,
     )
     server = make_server(
         engine, port=0, max_batch=max_batch, max_wait_ms=max_wait_ms
@@ -176,6 +178,7 @@ def main() -> None:
         "metric": f"serve_rps_{shape_tag}_c{concurrency}",
         "value": round(total / elapsed, 2),
         "unit": "req/s",
+        "mode": "int8_ups" if int8 else "bf16",
         # jit cache-size delta across the load phase: 0 proves no request
         # paid a mid-request compile (the warm ladder covered the traffic)
         "cold_compiles": engine_compiled_programs() - compiled_before,

@@ -43,6 +43,15 @@ def main() -> None:
                     help="fp32 compute (default bf16)")
     ap.add_argument("--no-lr-tail", action="store_true")
     ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="bake the production int8 PTQ tier (ups-only "
+                    "policy) into the artifact: int8 kernels, dequant "
+                    "scales, and activation scales (calibrated on "
+                    "--calib_dir images if given, else a synthetic batch) "
+                    "all become constants — no calibration at load time")
+    ap.add_argument("--calib_dir", default=None,
+                    help="sample images to calibrate int8 activation "
+                    "scales on (--int8 only)")
     args = ap.parse_args()
 
     from fast_srgan_tpu.utils.platforms import honor_env_platforms
@@ -70,6 +79,27 @@ def main() -> None:
         shapes.append((b, h, w))
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
 
+    calib = None
+    if args.int8:
+        from fast_srgan_tpu import quant
+
+        if args.calib_dir:
+            from PIL import Image
+
+            imgs = []
+            for name in sorted(os.listdir(args.calib_dir))[:8]:
+                try:
+                    imgs.append(np.asarray(
+                        Image.open(os.path.join(args.calib_dir, name))
+                        .convert("RGB")
+                    ))
+                except Exception:
+                    continue
+            batch = quant.calibration_batch_from_images(imgs)
+            calib = [batch] if batch is not None else None
+        if calib is None:
+            calib = [quant.default_calibration_batch()]
+
     forward = build_forward_u8(
         params,
         n_filters=arch["n_filters"],
@@ -77,6 +107,8 @@ def main() -> None:
         scale_factor=arch["scale_factor"],
         bf16=not args.fp32,
         lr_tail=not args.no_lr_tail,
+        quantize=args.int8,
+        calib_batches=calib,
     )
     entries = []
     for b, h, w in shapes:
@@ -90,6 +122,7 @@ def main() -> None:
     manifest = save_exported_dir(
         args.output, entries, arch=arch,
         bf16=not args.fp32, lr_tail=not args.no_lr_tail,
+        quantize=args.int8,
     )
     import json
 
@@ -119,6 +152,8 @@ def main() -> None:
         live = jax.jit(forward)
         import jax.numpy as jnp
 
+        # int8: same calib batches => calibrate_scales is deterministic =>
+        # the engine and the artifact share identical activation scales.
         engine = SRInferenceEngine(
             params,
             n_filters=arch["n_filters"],
@@ -126,6 +161,8 @@ def main() -> None:
             scale_factor=arch["scale_factor"],
             dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
             lr_tail=not args.no_lr_tail,
+            quantize=args.int8,
+            calib_batches=calib,
         )
         rng = np.random.default_rng(0)
         for (b, h, w), call in loaded["forwards"].items():

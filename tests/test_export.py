@@ -147,3 +147,44 @@ class TestEngineParity:
         np.testing.assert_array_equal(
             np.asarray(call(x)), engine.upscale_batch(x)
         )
+
+    def test_int8_export_matches_int8_engine(self, tmp_path):
+        """quantize=True bakes the production int8 tier (ups-only policy,
+        activation scales included) into the artifact; with identical
+        calib batches the engine and artifact share scales, so fp32-glue
+        outputs are bit-identical."""
+        import jax.numpy as jnp
+
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        model = Generator(n_filters=8, n_layers=2, dtype=jnp.float32)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        calib = [
+            jnp.asarray(np.random.default_rng(7).uniform(
+                -1, 1, (2, 12, 16, 3)
+            ).astype(np.float32))
+        ]
+        fwd = build_forward_u8(
+            params, n_filters=8, n_layers=2, scale_factor=4,
+            bf16=False, quantize=True, calib_batches=calib,
+        )
+        exp = export_shape(fwd, 1, 12, 16)
+        out = str(tmp_path / "int8")
+        save_exported_dir(
+            out, [((1, 12, 16), exp)],
+            arch={"n_filters": 8, "n_layers": 2, "scale_factor": 4},
+            bf16=False, lr_tail=True, quantize=True,
+        )
+        loaded = load_exported_dir(out)
+        assert loaded["manifest"]["quantize"] is True
+        call = loaded["forwards"][(1, 12, 16)]
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=2, scale_factor=4,
+            dtype=jnp.float32, quantize=True, calib_batches=calib,
+        )
+        x = np.random.default_rng(9).integers(
+            0, 256, (1, 12, 16, 3), dtype=np.uint8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(call(x)), engine.upscale_batch(x)
+        )
