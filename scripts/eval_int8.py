@@ -143,14 +143,21 @@ def main():
     scales_d = jax.device_put(scales)
 
     def arm(fn, args_of_x, b):
-        x_u8 = jax.device_put(
-            rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
-        )
+        # The input device_put sits INSIDE the try: after a prior arm
+        # OOMs, HBM can stay exhausted/fragmented long enough that even
+        # a small transfer fails — that must record as an OOM row, not
+        # kill the sweep (observed on v5e at a 384x90x160 bf16 arm).
         try:
+            x_u8 = jax.device_put(
+                rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+            )
             ms = bench(fn, args_of_x(x_u8), args.iters)
         except Exception as e:  # record OOM arms, keep sweeping
             msg = str(e).lower()
             if "resource_exhausted" in msg or "out of memory" in msg:
+                import gc
+
+                gc.collect()  # drop dead device buffers before the next arm
                 return {"oom": True}
             raise
         return {"ms": round(ms, 2), "fps": round(b / ms * 1e3, 1)}
@@ -199,6 +206,9 @@ def main():
                 continue
             row[name] = arm(fwd_int8, lambda x: (tree, scales_d, x), b)
         arms[b] = row
+        # partial results to stderr as each batch row lands: a crashed or
+        # killed sweep must not lose the rows already measured
+        print(f"# batch {b}: {json.dumps(row)}", file=sys.stderr, flush=True)
     best = lambda k: max(
         (a[k]["fps"] for a in arms.values() if "fps" in a.get(k, {})),
         default=None,

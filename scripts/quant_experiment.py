@@ -14,9 +14,11 @@ every boundary) is 2x slower and stays out of the production path:
 The per-layer quantize/dequantize chains add HBM passes that swamp the MXU
 gain. SUPERSEDED in part (2026-08-19): the unified executor in
 fast_srgan_tpu/quant.py with fused requantize epilogues measured the full
-graph at 0.87x (still a loss) but TAIL-ONLY quantization at 1.12x — the
-production int8 tier. Full reconciled story: docs/DESIGN.md "int8 decision
-record (rounds 2-4)". Kept as a reproducible experiment record.
+graph at 0.87x (still a loss), TAIL-ONLY quantization at 1.12x, and
+UPS-ONLY (upsampling stages int8, trunk AND head float) at 1.25x — 579.8
+fps at batch 112 vs bf16's 463.7, 39.66 dB — the production int8 tier.
+Full reconciled story: docs/DESIGN.md "int8 decision record (rounds 2-4)".
+Kept as a reproducible experiment record.
 """
 
 from __future__ import annotations
