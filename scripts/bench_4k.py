@@ -20,10 +20,14 @@ incl. tunnel RTT, 48.2 ms/frame batch-1 pipelined cadence, 28.8 ms/frame
 streaming at batch 8 (34.7 fps) — real-time 4K output per chip, and the
 <50 ms single-frame target met on-device.
 
---int8 (round 4, same protocol): 36.4 ms device latency (-14%), 71.3 ms
-strict, 42.6 ms cadence, 26.3 ms/frame streaming at batch 8 (38.0 fps,
-+9.5%) — the int8 tier wins at 4K too (quality bound 38.75 dB vs fp32,
-docs/DESIGN.md "int8 decision record").
+--int8 (round 4, same protocol): the production ups-only policy measures
+39.2 ms device latency (-7%), 68.9 ms strict, 45.3 ms cadence,
+26.6 ms/frame streaming at batch 8 (37.7 fps, +8.6%; 39.66 dB vs fp32).
+The tail-only baseline is marginally faster at this shape only (36.4 ms
+device / 38.0 fps streaming, 38.75 dB): 4K batches are memory-capped at
+8/1 for every precision, so ups' batch-cap lift buys nothing here while
+tail's extra quantized layer still pays — the full mode-by-shape table
+is docs/DESIGN.md "int8 decision record".
 
 Usage: python scripts/bench_4k.py [--int8] [BENCH_FRAMES=64]
 
