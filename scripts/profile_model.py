@@ -39,6 +39,11 @@ def main() -> None:
         help="--step gan: include the VGG19 perceptual content loss "
         "(training.vgg_weights='init' — the reference formulation's cost)",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="--step forward: profile the production int8 tier "
+        "(ups-only PTQ, fast_srgan_tpu/quant.py)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -55,7 +60,23 @@ def main() -> None:
         _, (params, _) = entry()
         model = Generator(n_filters=64, n_layers=8, dtype=dtype)
 
-        if args.lr_tail:
+        if args.int8:
+            from fast_srgan_tpu import quant
+
+            scales = quant.calibrate_scales(
+                params, [quant.default_calibration_batch(h=96, w=160)],
+                scale_factor=4,
+            )
+            qtree = quant.quantize_generator_params(
+                params, only=quant.is_ups_module
+            )
+            params = {"q": qtree, "s": scales}
+
+            def fn(p, x):
+                return quant.sr_quant_forward(
+                    p["q"], p["s"], x, scale_factor=4, glue_dtype=dtype
+                )
+        elif args.lr_tail:
             from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail
 
             def fn(p, x):
