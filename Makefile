@@ -9,13 +9,13 @@ native:
 	    csrc/fastsr_loader.cpp -lpthread
 
 # Full suite: the merge gate (compile-dominated). Measured 2026-08-19 on
-# this single-core box: 323 tests, all passing, 38m07s — and that run
-# shared the core with concurrent TPU benchmarking, so ~25-35 min is the
-# realistic unloaded budget. See test-quick for the per-commit tier.
+# this single-core box: 333 tests, all passing, 37m04s (the earlier 323-
+# test run measured 38m07s under concurrent TPU benchmarking) — budget
+# ~25-35 min unloaded. See test-quick for the per-commit tier.
 test:
 	python -m pytest tests/ -x -q
 
-# Per-commit gate: 169 tests incl. the generator/discriminator/VGG
+# Per-commit gate: 170 tests incl. the generator/discriminator/VGG
 # torch-parity oracles and the int8 PTQ tier; skips compile-heavy
 # multi-device/full-size programs (tests/conftest.py SLOW_NODE_PATTERNS).
 # Measured 2026-08-19 on this box (1 CPU core): 2m45s-3m13s —

@@ -50,9 +50,9 @@ def run(
     int8_mode: run the int8 PTQ tier (fast_srgan_tpu/quant.py —
     docs/DESIGN.md "int8 decision record"). "ups" is the production
     policy (upsampling stages int8, trunk+head float: 579.8 fps @112 vs
-    bf16's 463.7 @96 at this shape, 39.66 dB vs fp32); "tail" also
+    bf16's 463.7 @96 at this shape, 41.91 dB vs fp32); "tail" also
     quantizes the head (477.2 fps @88 — its int32 head output caps the
-    batch; 38.75 dB) and is kept as the measured baseline.
+    batch; 40.60 dB) and is kept as the measured baseline.
     """
     # Round the request up to whole batches — fps counts frames actually
     # processed, so frames and the numerator must agree.
@@ -286,7 +286,7 @@ def main() -> None:
         # quality bound of the int8 (ups-only) arm vs fp32 (uint8 output
         # domain, scripts/eval_int8.py psnr_by_arm +
         # tests/test_quant.py::TestPretrainedBound)
-        "int8_ups_psnr_vs_fp32_db": 39.66,
+        "int8_ups_psnr_vs_fp32_db": 41.91,
     }
     print(json.dumps(result))
 

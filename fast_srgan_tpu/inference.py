@@ -227,8 +227,9 @@ class SRInferenceEngine:
             # tail-only beat bf16 (477.2 fps @88 vs 463.7 @96) — but the
             # int8 head's int32 conv output is the widest live buffer and
             # caps the batch at 88. Keeping the head float ("ups") lifts
-            # the cap (512.4 fps @104) AND raises fidelity (39.66 dB vs
-            # fp32 against tail-only's 38.75: one fewer quantized layer).
+            # the cap (512.4 fps @104) AND raises fidelity (41.91 dB vs
+            # fp32 against tail-only's 40.60, production percentile
+            # calibration: one fewer quantized layer).
             # Quantizing the IN-glued 64-ch trunk LOSES (trunk-only 366.9,
             # full int8 405.2: the float glue keeps activations at bf16
             # width, so the trunk's convs gain nothing and pay the

@@ -22,9 +22,9 @@ streaming at batch 8 (34.7 fps) — real-time 4K output per chip, and the
 
 --int8 (round 4, same protocol): the production ups-only policy measures
 39.2 ms device latency (-7%), 68.9 ms strict, 45.3 ms cadence,
-26.6 ms/frame streaming at batch 8 (37.7 fps, +8.6%; 39.66 dB vs fp32).
+26.6 ms/frame streaming at batch 8 (37.7 fps, +8.6%; 41.91 dB vs fp32).
 The tail-only baseline is marginally faster at this shape only (36.4 ms
-device / 38.0 fps streaming, 38.75 dB): 4K batches are memory-capped at
+device / 38.0 fps streaming, 40.60 dB): 4K batches are memory-capped at
 8/1 for every precision, so ups' batch-cap lift buys nothing here while
 tail's extra quantized layer still pays — the full mode-by-shape table
 is docs/DESIGN.md "int8 decision record".

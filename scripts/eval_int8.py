@@ -79,8 +79,16 @@ def main():
     p.add_argument(
         "--arms", default=None,
         help="comma-separated subset of arms to time "
-        "(bf16,int8,int8_tail_only,int8_trunk_only); default: bf16, int8 "
+        "(bf16,int8,int8_tail_only,int8_trunk_only,int8_ups_only,"
+        "int8_head_only); default: bf16, int8 "
         "and tail-only (+ trunk-only with --hybrids)",
+    )
+    p.add_argument(
+        "--psnr_percentiles", default=None,
+        help="comma-separated activation-calibration percentiles (e.g. "
+        "'99.5,99.9,99.99') — reports PSNR of the production ups-only arm "
+        "under each, vs the max-abs default (quality-only; speed arms "
+        "always use max-abs scales)",
     )
     args = p.parse_args()
     h, w = map(int, args.shape.split("x"))
@@ -100,9 +108,10 @@ def main():
     ref = quant.sr_float_forward(params, xq, scale_factor=4)
     u8 = lambda y: np.clip((np.asarray(y, np.float32) + 1) * 127.5, 0, 255)
 
-    def psnr_of(tree):
+    def psnr_of(tree, s=None):
         out = quant.sr_quant_forward(
-            tree, scales, xq, scale_factor=4, glue_dtype=jnp.float32
+            tree, s if s is not None else scales, xq,
+            scale_factor=4, glue_dtype=jnp.float32,
         )
         mse = float(np.mean((u8(ref) - u8(out)) ** 2))
         return 10 * np.log10(255.0**2 / max(mse, 1e-12))
@@ -190,6 +199,22 @@ def main():
         for name, tree in host_trees.items()
         if name in wanted
     }
+    # percentile-calibration quality ladder on the production (ups) arm
+    psnr_percentile = None
+    if args.psnr_percentiles:
+        ups = host_trees["int8_ups_only"]
+        s_max = quant.calibrate_scales(
+            params, [xq], scale_factor=4, percentile=None
+        )
+        psnr_percentile = {
+            "default": round(psnr_of(ups), 2),  # quant.DEFAULT_PERCENTILE
+            "maxabs": round(psnr_of(ups, s_max), 2),
+        }
+        for qs in args.psnr_percentiles.split(","):
+            s_q = quant.calibrate_scales(
+                params, [xq], scale_factor=4, percentile=float(qs)
+            )
+            psnr_percentile[qs] = round(psnr_of(ups, s_q), 2)
     trees = {
         name: jax.device_put(tree)
         for name, tree in host_trees.items()
@@ -222,6 +247,7 @@ def main():
         "psnr_int8_vs_fp32_u8_db": round(psnr, 2),
         "psnr_int8_tail_only_vs_fp32_u8_db": round(psnr_tail, 2),
         "psnr_by_arm": psnr_by_arm,
+        "psnr_percentile": psnr_percentile,
         "arms": arms,
         "best_fps_bf16": fb,
         "best_fps_int8": fi,

@@ -16,7 +16,7 @@ gain. SUPERSEDED in part (2026-08-19): the unified executor in
 fast_srgan_tpu/quant.py with fused requantize epilogues measured the full
 graph at 0.87x (still a loss), TAIL-ONLY quantization at 1.12x, and
 UPS-ONLY (upsampling stages int8, trunk AND head float) at 1.25x — 579.8
-fps at batch 112 vs bf16's 463.7, 39.66 dB — the production int8 tier.
+fps at batch 112 vs bf16's 463.7, 41.91 dB — the production int8 tier.
 Full reconciled story: docs/DESIGN.md "int8 decision record (rounds 2-4)".
 Kept as a reproducible experiment record.
 """

@@ -145,6 +145,27 @@ class TestCalibrationHelpers:
             is None
         )
 
+    def test_percentile_scales_clip_outliers(self):
+        m, v, x = _small(4)
+        s_max = quant.calibrate_scales(
+            v, [x], scale_factor=4, percentile=None  # plain max-abs
+        )
+        s_q = quant.calibrate_scales(
+            v, [x], scale_factor=4, percentile=99.0
+        )
+        assert set(s_q) == set(s_max)
+        # a percentile of |x| can never exceed its max
+        assert all(
+            float(s_q[k]) <= float(s_max[k]) + 1e-9 for k in s_max
+        )
+        # the int8 forward under clipped scales still tracks the oracle
+        ref = m.apply(v, x)
+        out = quant.sr_quant_forward(
+            quant.quantize_generator_params(v, only=quant.is_ups_module),
+            s_q, x, scale_factor=4, glue_dtype=jnp.float32,
+        )
+        assert _psnr(ref, out) > 30.0
+
     def test_calibrate_accepts_uint8_and_hwc(self):
         m, v, _ = _small(4)
         img = np.random.default_rng(1).integers(0, 256, (12, 14, 3), np.uint8)
@@ -456,7 +477,7 @@ class TestPretrainedBound:
             f"full int8 vs fp32 PSNR {psnr_full:.2f} dB below bound"
         )
         # the production policy (engine quantize=True): ups-only —
-        # measured 39.66 dB on chip at 96x160 (scripts/eval_int8.py)
+        # measured 41.91 dB on chip at 96x160 (scripts/eval_int8.py)
         psnr_ups = psnr_of(quant.is_ups_module)
         assert psnr_ups > 37.0, (
             f"ups-only int8 vs fp32 PSNR {psnr_ups:.2f} dB below bound"
