@@ -266,6 +266,30 @@ class TestEngineInt8Mesh:
         b = meshed.upscale_batch(batch)
         np.testing.assert_array_equal(a, b)
 
+    def test_mesh_bucketed_int8_matches_single_device(self):
+        """The full serving combination — mesh + bucket + int8 (what a
+        multi-chip `serve.py --int8` deployment runs): masked int8 over a
+        batch-sharded mesh equals the single-device masked program."""
+        from fast_srgan_tpu.inference import SRInferenceEngine
+        from fast_srgan_tpu.parallel.mesh import make_mesh
+
+        m, v, x = _small(4)
+        kw = dict(
+            n_filters=8, n_layers=2, dtype=jnp.float32, quantize=True,
+            bucket=16, calib_batches=[x],
+        )
+        single = SRInferenceEngine(v, **kw)
+        meshed = SRInferenceEngine(v, mesh=make_mesh(8), **kw)
+        rng = np.random.default_rng(11)
+        imgs = [
+            rng.integers(0, 256, (12, 14, 3), np.uint8),
+            rng.integers(0, 256, (9, 11, 3), np.uint8),
+        ] * 4  # 8 mixed-size frames -> one bucketed mesh batch
+        outs_s = single.upscale_images(imgs, batch_size=8)
+        outs_m = meshed.upscale_images(imgs, batch_size=8)
+        for a, b in zip(outs_s, outs_m):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestEngineGuards:
     def test_bucket_rejected_for_full_mode(self):
