@@ -167,6 +167,12 @@ class SRInferenceEngine:
     # ns/LR-pixel at every shape tested, vs ~100 at batch 1 and 55-77 at
     # batch >= 8. So the engine only ever compiles batch 1 or batch >= 8.
     PIXEL_BUDGET = 4_200_000
+    # The production int8 (ups-only, unbucketed, 4x) program keeps the
+    # head's int32 output small and measured: batch 112 at 180x320 runs
+    # (peak temp HBM 14.87 of 16 GB, docs/DESIGN.md) where bf16 OOMs past
+    # ~104 — and 112 is also the measured fps optimum, so the budget IS
+    # the operating point, not just a ceiling. 120 fits; 128 OOMs.
+    INT8_UPS_PIXEL_BUDGET = 112 * 180 * 320  # 6_451_200
 
     def __init__(
         self,
@@ -195,6 +201,17 @@ class SRInferenceEngine:
                 self.PIXEL_BUDGET // 4 if scale_factor == 8
                 else self.PIXEL_BUDGET
             )
+            # Unbucketed production int8 at 4x: use its own measured
+            # (larger) operating point — batch 112 at 180x320 is both the
+            # HBM-safe bound and the fps optimum (INT8_UPS_PIXEL_BUDGET).
+            # The masked/bucketed path keeps the conservative bf16 budget:
+            # its watermark was not swept batch-by-batch.
+            if (
+                quantize in (True, "ups")
+                and not bucket
+                and scale_factor == 4
+            ):
+                pixel_budget = self.INT8_UPS_PIXEL_BUDGET
         self.pixel_budget = pixel_budget
         self.SCALE = scale_factor
         self.model = Generator(

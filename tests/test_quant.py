@@ -310,6 +310,31 @@ class TestEngineGuards:
                 v, n_filters=8, n_layers=2, use_pallas=True, quantize=True
             )
 
+    def test_int8_ups_pixel_budget(self):
+        """Unbucketed production int8 gets its own measured (larger)
+        batch budget — the bench-measured 112@180x320 operating point —
+        while bf16 and the (unswept) masked path keep the conservative
+        bf16 budget."""
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(4)
+        kw = dict(n_filters=8, n_layers=2, dtype=jnp.float32)
+        bf16 = SRInferenceEngine(v, **kw)
+        i8 = SRInferenceEngine(v, quantize=True, calib_batches=[x], **kw)
+        i8b = SRInferenceEngine(
+            v, quantize=True, bucket=16, calib_batches=[x], **kw
+        )
+        assert bf16.pixel_budget == SRInferenceEngine.PIXEL_BUDGET
+        assert i8.pixel_budget == SRInferenceEngine.INT8_UPS_PIXEL_BUDGET
+        assert i8b.pixel_budget == SRInferenceEngine.PIXEL_BUDGET
+        assert i8.effective_batch_size(180, 320, requested=256) == 112
+        assert bf16.effective_batch_size(180, 320, requested=256) == 72
+        # explicit pixel_budget still wins
+        custom = SRInferenceEngine(
+            v, quantize=True, calib_batches=[x], pixel_budget=1000, **kw
+        )
+        assert custom.pixel_budget == 1000
+
     def test_recalibrate_requires_quantize(self):
         from fast_srgan_tpu.inference import SRInferenceEngine
 
