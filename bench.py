@@ -218,13 +218,14 @@ def main() -> None:
     # protocol shape; BENCH_SHAPE=HxW selects its other benchmark shapes.
     shape = os.environ.get("BENCH_SHAPE", "180x320")
     h, w = map(int, shape.split("x"))
-    # Batch 96 is the measured optimum on v5e (sweep in docs/DESIGN.md:
-    # 315 fps @16, 352 @64, 431 @96; 112 exhausts HBM — re-confirmed under
-    # the tuned VMEM budget). The fallback chain guards against a device
-    # with less free memory than measured.
-    requested = int(os.environ.get("BENCH_BATCH", "96"))
+    # Batch 128 is the measured bf16 optimum on v5e with the phase-summed
+    # LR-tail head (531.9 fps @128 vs 499.5 @112, 481.5 @104; the old
+    # concat head capped at ~104 and ran 465 @96 — history in
+    # docs/DESIGN.md). The fallback chain guards against a device with
+    # less free memory than measured.
+    requested = int(os.environ.get("BENCH_BATCH", "128"))
     candidates = list(
-        dict.fromkeys(b for b in (requested, 64, 16) if b <= requested)
+        dict.fromkeys(b for b in (requested, 96, 64, 16) if b <= requested)
     )
 
     def measure(int8_mode, cands) -> tuple:
@@ -245,17 +246,18 @@ def main() -> None:
     arms = {f"bf16_b{batch}": round(fps, 2)}
     mode = "bf16"
     # int8 arm (docs/DESIGN.md "int8 decision record"): the production
-    # quantized tier, ups-only (upsampling stages int8, trunk+head float).
-    # Its int32 conv outputs raise the HBM watermark: at 180x320, batch 120
-    # fits but 128 OOMs (measured, v5e), and 112 is the measured optimum
-    # (579.8 fps vs 577.2 @120, 512.4 @104) — so the arm tries the
-    # ups-specific optimum first, capped by a per-device LR-pixel budget of
-    # 120*180*320 per shape. The headline takes whichever arm measures
+    # quantized tier, ups-only (upsampling stages int8, trunk+head float)
+    # with the phase-summed head (quant._tail_4x — the 16F concat that was
+    # the HBM watermark is never materialized). Measured optimum at
+    # 180x320: batch 128, 657.6 fps (132+ compiles to a collapsed ~346 ms
+    # schedule; concat-form history: 112 @ 579.8) — so the arm tries the
+    # ups-specific optimum first, capped by a per-device LR-pixel budget
+    # of 128*180*320 per shape. The headline takes whichever arm measures
     # faster; BENCH_INT8=0 skips the arm.
     if os.environ.get("BENCH_INT8", "1") == "1":
-        i8_pixel_cap = 120 * 180 * 320
+        i8_pixel_cap = 128 * 180 * 320
         cap = max(1, i8_pixel_cap // (h * w))
-        i8_opt = int(os.environ.get("BENCH_INT8_BATCH", "112"))
+        i8_opt = int(os.environ.get("BENCH_INT8_BATCH", "128"))
         i8_cands = list(
             dict.fromkeys(
                 min(b, cap) for b in (i8_opt, *candidates)

@@ -168,11 +168,14 @@ class SRInferenceEngine:
     # batch >= 8. So the engine only ever compiles batch 1 or batch >= 8.
     PIXEL_BUDGET = 4_200_000
     # The production int8 (ups-only, unbucketed, 4x) program keeps the
-    # head's int32 output small and measured: batch 112 at 180x320 runs
-    # (peak temp HBM 14.87 of 16 GB, docs/DESIGN.md) where bf16 OOMs past
-    # ~104 — and 112 is also the measured fps optimum, so the budget IS
-    # the operating point, not just a ceiling. 120 fits; 128 OOMs.
-    INT8_UPS_PIXEL_BUDGET = 112 * 180 * 320  # 6_451_200
+    # head's int32 output small, and its phase-summed head (quant._tail_4x)
+    # never materializes the 16F concat that was the HBM watermark — so
+    # batch 128 at 180x320 runs (bf16 OOMs past ~104) and is the measured
+    # fps optimum: 657.6 fps vs 579.8 at the old concat-form cap of 112
+    # (scripts/phase_summed_head_experiment.py). Larger batches still run
+    # but XLA's schedule collapses (132+: ~346 ms/batch), so the budget IS
+    # the operating point, not just an OOM ceiling.
+    INT8_UPS_PIXEL_BUDGET = 128 * 180 * 320  # 7_372_800
 
     def __init__(
         self,
@@ -242,11 +245,12 @@ class SRInferenceEngine:
             # Measured on v5e (scripts/eval_int8.py, 2026-08-19, 180x320):
             # the wide no-IN tail convs ride the 2x int8 MXU rate, so
             # tail-only beat bf16 (477.2 fps @88 vs 463.7 @96) — but the
-            # int8 head's int32 conv output is the widest live buffer and
-            # caps the batch at 88. Keeping the head float ("ups") lifts
-            # the cap (512.4 fps @104) AND raises fidelity (41.91 dB vs
-            # fp32 against tail-only's 40.60, production percentile
-            # calibration: one fewer quantized layer).
+            # int8 head's int32 conv output caps the batch at 88. Keeping
+            # the head float ("ups") lifts the cap AND raises fidelity
+            # (41.91 dB vs fp32 against tail-only's 40.60, production
+            # percentile calibration: one fewer quantized layer); with
+            # the phase-summed head the operating point is batch 128 at
+            # 657.6 fps sustained (623.4 on the 800-frame protocol).
             # Quantizing the IN-glued 64-ch trunk LOSES (trunk-only 366.9,
             # full int8 405.2: the float glue keeps activations at bf16
             # width, so the trunk's convs gain nothing and pay the

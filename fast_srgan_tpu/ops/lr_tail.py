@@ -262,25 +262,35 @@ def lr_tail(
     alpha1 = up0["relu"]["alpha"].astype(dtype)
     a1 = jnp.where(a1 >= 0, a1, alpha1 * a1)  # [B, H, W, 4F]
 
-    # Stage 2: four per-phase conv2x2s over the phase-packed tensor.
+    # Stage 2 + head, phase-summed: the head kernel's input channels are
+    # phase-major and the stage-2 PReLU slope is a single shared scalar,
+    # so conv(prelu(concat(phases)), Kd) == sum_p conv(prelu(phase_p),
+    # Kd_p) with fp32 partial accumulation — the [B,H,W,16F] concat (the
+    # program's HBM watermark: 13.2 GB at batch 112 x 180x320) is never
+    # materialized. Measured (scripts/phase_summed_head_experiment.py,
+    # v5e): the bf16 batch cap lifts ~104 -> 128+ and the 800-frame
+    # operating point moves 465 fps @96 -> 531.9 @128; fp32 partials keep
+    # the split 16F contraction at the one-conv form's precision (each
+    # conv accumulates fp32 internally either way).
     k2 = _phase_kernels_2x(up1["conv"]["kernel"]).items()
     b2 = up1["conv"]["bias"].astype(dtype)
-    phases = [
-        _conv(a1, kp.astype(dtype), ((1 - p, p), (1 - q, q))) + b2
-        for (p, q), kp in k2
-    ]
-    a2 = jnp.concatenate(phases, axis=-1)  # [B, H, W, 16F], phase-major
-    if mask is not None:
-        a2 = a2 * mask
     alpha2 = up1["relu"]["alpha"].astype(dtype)
-    a2 = jnp.where(a2 >= 0, a2, alpha2 * a2)
-
-    # Head: one dense LR conv producing all 16 sub-pixel phases, then the
-    # single (and only) depth-to-space of the whole tail.
     kd = _head_kernel_4x(head["kernel"])
-    z = _conv(a2, kd.astype(dtype), ((1, 1), (1, 1)))
-    z = z + jnp.repeat(head["bias"], 16).astype(dtype)
-    z = jnp.tanh(z.astype(jnp.float32))  # [B, H, W, 48]
+    f4 = a1.shape[-1]  # 4F
+    z = None
+    for i, ((p, q), kp) in enumerate(k2):
+        ph = _conv(a1, kp.astype(dtype), ((1 - p, p), (1 - q, q))) + b2
+        if mask is not None:
+            ph = ph * mask
+        ph = jnp.where(ph >= 0, ph, alpha2 * ph)
+        part = lax.conv_general_dilated(
+            ph, kd[:, :, i * f4 : (i + 1) * f4, :].astype(dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=_DN,
+            preferred_element_type=jnp.float32,
+        )
+        z = part if z is None else z + part
+    z = z + jnp.repeat(head["bias"], 16).astype(jnp.float32)
+    z = jnp.tanh(z)  # [B, H, W, 48]
     return pixel_shuffle_nhwc(z, 4)
 
 

@@ -10,13 +10,15 @@ measured **1.82x** over bf16 with the full requantize epilogue (rescale,
 round, clip, cast) fused in for free — but only 1.37x once float glue sits
 between the convs, and end-to-end the win survives ONLY in the LR-domain
 tail: full-graph int8 measures 0.87x, trunk-only 0.79x, tail-only 1.12x,
-and **ups-only** (upsampling stages int8, trunk AND head float) **1.25x**
-— 579.8 fps at batch 112 vs the bf16 headline's 463.7 at 96. Keeping the
-head float shrinks the program's widest live int32 buffer (the 1024-ch
-LR-domain head output), lifting the OOM batch cap from 88 to 120, and
-quantizes one fewer layer, raising fidelity (41.91 dB vs tail-only's
-40.60 under the production 99.99th-percentile calibration). The reconciled three-round story is docs/DESIGN.md "int8 decision
-record". The production policy is therefore ups-only
+and **ups-only** (upsampling stages int8, trunk AND head float) wins —
+with the phase-summed head (see :func:`_tail_4x`) **657.6 fps at batch
+128** sustained-chain / 623.4 on the 800-frame protocol, vs the bf16
+arm's 531.9/529.6 at the same batch. Keeping the head float shrinks the
+program's widest live int32 buffer (the 1024-ch LR-domain head output)
+and quantizes one fewer layer, raising fidelity (41.91 dB vs tail-only's
+40.60 under the production 99.99th-percentile calibration). The
+reconciled story is docs/DESIGN.md "int8 decision record". The
+production policy is therefore ups-only
 (``SRInferenceEngine(quantize=True)``); the tail/full/trunk modes remain
 selectable as measured baselines.
 
@@ -287,7 +289,19 @@ def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
     ``mask`` enables the exact zero-pad-masked path (one LR mask serves
     every stage — the whole tail stays at LR; masked zeros quantize to
     int8 zero exactly, so the int8 convs see the same zeros the unpadded
-    program's conv padding provides)."""
+    program's conv padding provides).
+
+    Head forms: when the head is FLOAT (the production ups-only mode) and
+    no calibration is collecting, the 16F phase concat is never
+    materialized — the head kernel's input channels are phase-major and
+    the stage-2 PReLU slope is a single shared scalar, so
+    ``conv(prelu(concat(phases)), Kd) == sum_p conv(prelu(phase_p), Kd_p)``
+    with fp32 partial accumulation. The concat tensor (13.2 GB at batch
+    112 x 180x320) is the program's HBM watermark; the summed form lifts
+    the v5e batch cap 120 -> 128 and measured 657.6 fps vs 579.8
+    (scripts/phase_summed_head_experiment.py, docs/DESIGN.md "int8
+    decision record"). Calibration keeps the concat (per-conv-input stats
+    are defined on the full head input), as do int8-head modes."""
     dt = ex.glue
     if mask is not None:
         mask = mask.astype(dt)
@@ -313,18 +327,37 @@ def _tail_4x(p, ex, y, up0="upsampling_0", up1="upsampling_1",
             ).items()
         ]
     b2 = leaf["bias"].astype(dt)
-    a2 = jnp.concatenate([ph + b2 for ph in phases], axis=-1)
-    if mask is not None:
-        a2 = a2 * mask
-    a2 = _prelu(a2, p[up1]["relu"]["alpha"], dt)
+    head = p["head_conv"]
+    alpha2 = p[up1]["relu"]["alpha"]
 
-    z = ex.conv(
-        a2, "head", p["head_conv"], PAD1,
-        kernel_tf=_head_kernel_4x,
-        wscale_tf=lambda ws: jnp.repeat(ws, 16),
-    )
-    z = z + jnp.repeat(p["head_conv"]["bias"], 16).astype(dt)
-    z = jnp.tanh(z.astype(jnp.float32))
+    if "kernel" in head and ex.collect is None:
+        # Phase-summed float head (see docstring above).
+        kd = _head_kernel_4x(head["kernel"]).astype(dt)
+        f4 = a1.shape[-1]
+        z = None
+        for i, ph in enumerate(phases):
+            ph = ph + b2
+            if mask is not None:
+                ph = ph * mask
+            ph = _prelu(ph, alpha2, dt)
+            part = lax.conv_general_dilated(
+                ph, kd[:, :, i * f4 : (i + 1) * f4, :], (1, 1), PAD1,
+                dimension_numbers=_DN,
+                preferred_element_type=jnp.float32,
+            )
+            z = part if z is None else z + part
+    else:
+        a2 = jnp.concatenate([ph + b2 for ph in phases], axis=-1)
+        if mask is not None:
+            a2 = a2 * mask
+        a2 = _prelu(a2, alpha2, dt)
+        z = ex.conv(
+            a2, "head", head, PAD1,
+            kernel_tf=_head_kernel_4x,
+            wscale_tf=lambda ws: jnp.repeat(ws, 16),
+        ).astype(jnp.float32)
+    z = z + jnp.repeat(head["bias"], 16).astype(jnp.float32)
+    z = jnp.tanh(z)
     return pixel_shuffle_nhwc(z, 4)
 
 

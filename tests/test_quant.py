@@ -327,7 +327,7 @@ class TestEngineGuards:
         assert bf16.pixel_budget == SRInferenceEngine.PIXEL_BUDGET
         assert i8.pixel_budget == SRInferenceEngine.INT8_UPS_PIXEL_BUDGET
         assert i8b.pixel_budget == SRInferenceEngine.PIXEL_BUDGET
-        assert i8.effective_batch_size(180, 320, requested=256) == 112
+        assert i8.effective_batch_size(180, 320, requested=256) == 128
         assert bf16.effective_batch_size(180, 320, requested=256) == 72
         # explicit pixel_budget still wins
         custom = SRInferenceEngine(
