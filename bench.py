@@ -250,14 +250,18 @@ def main() -> None:
     # with the phase-summed head (quant._tail_4x — the 16F concat that was
     # the HBM watermark is never materialized). Measured optimum at
     # 180x320: batch 128, 657.6 fps (132+ compiles to a collapsed ~346 ms
-    # schedule; concat-form history: 112 @ 579.8) — so the arm tries the
-    # ups-specific optimum first, capped by a per-device LR-pixel budget
-    # of 128*180*320 per shape. The headline takes whichever arm measures
-    # faster; BENCH_INT8=0 skips the arm.
+    # schedule; concat-form history: 112 @ 579.8). The optimum tracks
+    # LR pixels per program, not batch count — at 90x160 the same
+    # 128*180*320-px budget means batch 512, measured 2457 fps vs 2182 at
+    # 384 — so the arm tries the pixel-cap batch itself first (at the
+    # default 720p shape that IS 128), then the bf16 candidate chain as
+    # OOM fallbacks. The headline takes whichever arm measures faster;
+    # BENCH_INT8=0 skips the arm; BENCH_INT8_BATCH overrides the first
+    # candidate.
     if os.environ.get("BENCH_INT8", "1") == "1":
         i8_pixel_cap = 128 * 180 * 320
         cap = max(1, i8_pixel_cap // (h * w))
-        i8_opt = int(os.environ.get("BENCH_INT8_BATCH", "128"))
+        i8_opt = int(os.environ.get("BENCH_INT8_BATCH", str(cap)))
         i8_cands = list(
             dict.fromkeys(
                 min(b, cap) for b in (i8_opt, *candidates)

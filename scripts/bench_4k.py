@@ -14,20 +14,22 @@ points the engine's policy actually uses for this frame size
 Batches 2..7 are deliberately absent: measured 200-320 ns/LR-px vs 59 at
 batch 8 (the XLA conv lowering wastes MXU sublanes — docs/DESIGN.md
 "Batch-size anatomy"), and batch 8 at 720x1280 LR exceeds HBM. v5e
-measured (round 3, tuned 48 MiB scoped-VMEM default — utils/xla_opts.py):
-42.2 ms single-frame DEVICE latency (the in-jit chain), 75.8 ms strict
-incl. tunnel RTT, 48.2 ms/frame batch-1 pipelined cadence, 28.8 ms/frame
-streaming at batch 8 (34.7 fps) — real-time 4K output per chip, and the
-<50 ms single-frame target met on-device.
+measured (round 4, tuned 48 MiB scoped-VMEM default + phase-summed
+LR-tail head; back-to-back repeats agree to <=0.4%): 38.7 ms single-frame
+DEVICE latency (the in-jit chain; concat-head history: 42.2), 68.7-69.2
+ms strict incl. tunnel RTT, 44.7 ms/frame batch-1 pipelined cadence,
+29.8 ms/frame streaming at batch 8 (33.6 fps; the concat head streamed
+34.7 — at the memory-capped batch the summed split costs ~3% schedule
+efficiency while cutting latency 8%; trade-off recorded in docs/DESIGN.md)
+— real-time 4K output per chip, <50 ms single-frame target met on-device.
 
 --int8 (round 4, same protocol): the production ups-only policy measures
-39.2 ms device latency (-7%), 68.9 ms strict, 45.3 ms cadence,
-26.6 ms/frame streaming at batch 8 (37.7 fps, +8.6%; 41.91 dB vs fp32).
-The tail-only baseline is marginally faster at this shape only (36.4 ms
-device / 38.0 fps streaming, 40.60 dB): 4K batches are memory-capped at
-8/1 for every precision, so ups' batch-cap lift buys nothing here while
-tail's extra quantized layer still pays — the full mode-by-shape table
-is docs/DESIGN.md "int8 decision record".
+35.9 ms device latency (-7% vs bf16), 65-67 ms strict, 42.1 ms cadence,
+26.1 ms/frame streaming at batch 8 (38.2 fps, +14%; 41.91 dB vs fp32).
+With the phase-summed head ups leads every 4K protocol; the tail-only
+baseline (concat head — the summed decomposition needs a float head)
+measured 36.4 ms device / 38.0 fps streaming at 40.60 dB — the full
+mode-by-shape table is docs/DESIGN.md "int8 decision record".
 
 Usage: python scripts/bench_4k.py [--int8] [BENCH_FRAMES=64]
 
