@@ -261,6 +261,26 @@ def _dist_instance_norm(axis_name: str, eps: float = 1e-5):
 # Public API
 # ---------------------------------------------------------------------------
 
+def _resolve_mesh_axes(mesh: Mesh, axis_name: str):
+    """(spatial_axis, batch_axis|None) for a 1-D sp or 2-D batch+sp mesh."""
+    if axis_name in mesh.axis_names:
+        mesh_axis = axis_name
+    elif len(mesh.axis_names) == 1:
+        (mesh_axis,) = mesh.axis_names
+    else:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} contain no spatial axis "
+            f"{axis_name!r}"
+        )
+    batch_axes = tuple(a for a in mesh.axis_names if a != mesh_axis)
+    if len(batch_axes) > 1:
+        raise ValueError(
+            f"expected at most one batch axis besides {mesh_axis!r}, got "
+            f"{mesh.axis_names}"
+        )
+    return mesh_axis, (batch_axes[0] if batch_axes else None)
+
+
 @functools.lru_cache(maxsize=8)
 def build_tiled_forward(
     mesh: Mesh,
@@ -284,22 +304,7 @@ def build_tiled_forward(
     halo/psum collectives stay within each sp group. B must then divide
     the data axis size.
     """
-    if axis_name in mesh.axis_names:
-        mesh_axis = axis_name
-    elif len(mesh.axis_names) == 1:
-        (mesh_axis,) = mesh.axis_names
-    else:
-        raise ValueError(
-            f"mesh axes {mesh.axis_names} contain no spatial axis "
-            f"{axis_name!r}"
-        )
-    batch_axes = tuple(a for a in mesh.axis_names if a != mesh_axis)
-    if len(batch_axes) > 1:
-        raise ValueError(
-            f"expected at most one batch axis besides {mesh_axis!r}, got "
-            f"{mesh.axis_names}"
-        )
-    batch_axis = batch_axes[0] if batch_axes else None
+    mesh_axis, batch_axis = _resolve_mesh_axes(mesh, axis_name)
     sp_size = mesh.shape[mesh_axis]
 
     tail_builders = {
@@ -359,3 +364,221 @@ def tiled_upscale_u8(params, frame_u8: np.ndarray, mesh: Mesh, dtype=jnp.bfloat1
     y = forward(params, x)
     out = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
     return np.asarray(out[0])
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded int8 forward — the PTQ tier under width tiling
+# ---------------------------------------------------------------------------
+#
+# Why this is EXACT (same values as quant.sr_quant_forward, not an
+# approximation): the int8 tier's activation scales are STATIC (calibrated
+# constants, quant.calibrate_scales), so per-shard quantization commutes
+# with the halo concatenation — quantize(concat(halo, x)) ==
+# concat(quantize(halo), quantize(x)) elementwise — and the frame-edge
+# zero halos quantize to int8 zero exactly (symmetric scheme), matching
+# the unsharded conv's zero padding. Instance-norm statistics are psum'd
+# (global over the frame) exactly as in the float tiled forward. The
+# sharded program therefore computes the same int8 contractions over the
+# same values; only fp32/glue reduction order can differ.
+
+
+def _halo_exec_conv(ex, axis_name, x, name, leaf, kernel_tf=None,
+                    wscale_tf=None):
+    """One quant._Exec conv (float or int8 by leaf form) with a one-column
+    halo along the sharded W axis. Halos are exchanged in the glue/float
+    domain; the executor quantizes the concatenated tensor (exact — see
+    the section comment above)."""
+    fl, fr = _exchange_halo_cols(x, axis_name)
+    xx = jnp.concatenate([fl, x, fr], axis=2)
+    return ex.conv(xx, name, leaf, ((1, 1), (0, 0)), kernel_tf, wscale_tf)
+
+
+def _sharded_q_trunk(p, ex, x, axis_name):
+    """quant._trunk with halo convs and psum'd instance-norm statistics."""
+    dt = ex.glue
+    norm = _dist_instance_norm(axis_name)
+    r = _halo_exec_conv(ex, axis_name, x, "neck", p["neck_conv"])
+    r = r + p["neck_conv"]["bias"].astype(dt)
+    r = _prelu(r, p["neck_relu"]["alpha"])
+    y = r
+    for i in range(_n_stem(p)):
+        blk = p[f"stem_{i}"]
+        h = _halo_exec_conv(ex, axis_name, y, f"stem_{i}_c1", blk["conv1"])
+        h = norm(h).astype(dt)
+        h = _prelu(h, blk["relu1"]["alpha"])
+        h = _halo_exec_conv(ex, axis_name, h, f"stem_{i}_c2", blk["conv2"])
+        h = norm(h).astype(dt)
+        y = y + h
+    b = _halo_exec_conv(ex, axis_name, y, "bottleneck", p["bottleneck_conv"])
+    b = norm(b).astype(dt)
+    return b + r
+
+
+def _sharded_q_tail_4x(p, ex, y, axis_name, up0="upsampling_0",
+                       up1="upsampling_1", n0="up0", n1="up1"):
+    """quant._tail_4x under width sharding: int8 (or float) stage convs
+    with halo exchange, phase-summed float head (or int8 concat head —
+    per-leaf dispatch, same as the unsharded executor)."""
+    from fast_srgan_tpu.ops.lr_tail import _head_kernel_4x, _phase_kernels_2x
+
+    dt = ex.glue
+    a = _halo_exec_conv(ex, axis_name, y, n0, p[up0]["conv"])
+    a = a + p[up0]["conv"]["bias"].astype(dt)
+    a1 = _prelu(a, p[up0]["relu"]["alpha"])
+
+    # Stage 2: per-phase conv2x2s share ONE input quantization of the
+    # halo-extended tensor; phase q reads columns {w+q-1, w+q}, exactly
+    # the float _sharded_lr_tail's slicing.
+    leaf = p[up1]["conv"]
+    fl, fr = _exchange_halo_cols(a1, axis_name)
+    xx = jnp.concatenate([fl, a1, fr], axis=2)  # [B, H, w+2, 4F]
+    w = a1.shape[2]
+    if "qkernel" in leaf:
+        xxq = ex.qin(n1, xx)
+        phases = [
+            ex.conv_q(
+                xxq[:, :, q : q + w + 1, :], n1, kp, leaf["wscale"],
+                ((1 - pp, pp), (0, 0)),
+            )
+            for (pp, q), kp in _phase_kernels_2x(leaf["qkernel"]).items()
+        ]
+    else:
+        phases = [
+            lax.conv_general_dilated(
+                xx[:, :, q : q + w + 1, :], kp, (1, 1),
+                ((1 - pp, pp), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(dt)
+            for (pp, q), kp in _phase_kernels_2x(
+                leaf["kernel"].astype(dt)
+            ).items()
+        ]
+    b2 = leaf["bias"].astype(dt)
+    head = p["head_conv"]
+    alpha2 = p[up1]["relu"]["alpha"]
+
+    if "kernel" in head:
+        # Phase-summed float head (quant._tail_4x docstring): one 3x3
+        # halo conv per phase with the phase-major kernel slice, fp32
+        # partial accumulation.
+        kd = _head_kernel_4x(head["kernel"]).astype(dt)
+        f4 = a1.shape[-1]
+        z = None
+        for i, ph in enumerate(phases):
+            ph = _prelu(ph + b2, alpha2)
+            pfl, pfr = _exchange_halo_cols(ph, axis_name)
+            pxx = jnp.concatenate([pfl, ph, pfr], axis=2)
+            part = lax.conv_general_dilated(
+                pxx, kd[:, :, i * f4 : (i + 1) * f4, :], (1, 1),
+                ((1, 1), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            z = part if z is None else z + part
+    else:
+        a2 = _prelu(
+            jnp.concatenate([ph + b2 for ph in phases], axis=-1), alpha2
+        )
+        z = _halo_exec_conv(
+            ex, axis_name, a2, "head", head,
+            kernel_tf=_head_kernel_4x,
+            wscale_tf=lambda ws: jnp.repeat(ws, 16),
+        ).astype(jnp.float32)
+    z = z + jnp.repeat(head["bias"], 16).astype(jnp.float32)
+    return pixel_shuffle_nhwc(jnp.tanh(z), 4)
+
+
+def _sharded_q_tail_2x(p, ex, y, axis_name):
+    from fast_srgan_tpu.ops.lr_tail import _head_kernel_2x
+
+    dt = ex.glue
+    a = _halo_exec_conv(ex, axis_name, y, "up0", p["upsampling_0"]["conv"])
+    a = a + p["upsampling_0"]["conv"]["bias"].astype(dt)
+    a1 = _prelu(a, p["upsampling_0"]["relu"]["alpha"])
+    z = _halo_exec_conv(
+        ex, axis_name, a1, "head", p["head_conv"],
+        kernel_tf=_head_kernel_2x,
+        wscale_tf=lambda ws: jnp.repeat(ws, 4),
+    )
+    z = z + jnp.repeat(p["head_conv"]["bias"], 4).astype(dt)
+    return pixel_shuffle_nhwc(jnp.tanh(z.astype(jnp.float32)), 2)
+
+
+def _sharded_q_tail_8x(p, ex, y, axis_name):
+    """Hierarchical (quant._tail_8x): stage 0 canonically to 2x — pixel
+    shuffle is width-local, so the partition stays contiguous — then the
+    4x tail at 2x resolution over the shifted param subtree."""
+    dt = ex.glue
+    a0 = _halo_exec_conv(ex, axis_name, y, "up0", p["upsampling_0"]["conv"])
+    a0 = a0 + p["upsampling_0"]["conv"]["bias"].astype(dt)
+    a0 = pixel_shuffle_nhwc(a0, 2)
+    y2 = _prelu(a0, p["upsampling_0"]["relu"]["alpha"])
+    return _sharded_q_tail_4x(
+        p, ex, y2, axis_name,
+        up0="upsampling_1", up1="upsampling_2", n0="up1", n1="up2",
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def build_tiled_quant_forward(
+    mesh: Mesh,
+    axis_name: str = "sp",
+    glue_dtype: Any = jnp.bfloat16,
+    scale_factor: int = 4,
+):
+    """Jitted exact spatially-tiled int8 (PTQ-tier) forward over `mesh`.
+
+    Returns ``fn(qparams, act_scales, x)``: ``qparams`` from
+    :func:`fast_srgan_tpu.quant.quantize_generator_params` (any arm —
+    the production ups-only, tail, full, or an unquantized float tree;
+    per-leaf dispatch exactly as in ``quant.sr_quant_forward``),
+    ``act_scales`` from ``quant.calibrate_scales`` (replicated jit
+    inputs, so recalibration never recompiles), ``x`` [B, H, W, 3] in
+    [-1, 1] with W divisible by the spatial axis size. Mesh semantics
+    match :func:`build_tiled_forward` (1-D sp, or 2-D batch axis + sp).
+
+    This composes the two scaling tiers: the int8 production policy
+    (docs/DESIGN.md "int8 decision record") and exact multi-chip spatial
+    tiling (the long-context analogue, SURVEY.md §2.7/§5 — reference
+    inference.py:48-53 runs full frames single-device). Exactness
+    argument in the section comment above; asserted on the virtual mesh
+    by tests/test_spatial_quant.py.
+    """
+    from fast_srgan_tpu import quant as _q
+
+    mesh_axis, batch_axis = _resolve_mesh_axes(mesh, axis_name)
+    sp_size = mesh.shape[mesh_axis]
+    tails = {
+        2: _sharded_q_tail_2x, 4: _sharded_q_tail_4x, 8: _sharded_q_tail_8x
+    }
+    if scale_factor not in tails:
+        raise ValueError(f"scale_factor must be 2, 4, or 8: {scale_factor}")
+
+    def sharded(qp, scales, x):
+        ex = _q._Exec(scales=scales, collect=None, glue_dtype=glue_dtype)
+        y = _sharded_q_trunk(qp, ex, x.astype(glue_dtype), mesh_axis)
+        return tails[scale_factor](qp, ex, y, mesh_axis)
+
+    mapped = jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(batch_axis, None, mesh_axis, None)),
+        out_specs=P(batch_axis, None, mesh_axis, None),
+    )
+
+    @jax.jit
+    def forward(qparams, act_scales, x):
+        qp = qparams["params"] if "params" in qparams else qparams
+        if x.shape[2] % sp_size != 0:
+            raise ValueError(
+                f"width {x.shape[2]} not divisible by spatial axis size "
+                f"{sp_size}"
+            )
+        if batch_axis is not None and x.shape[0] % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by {batch_axis!r} axis "
+                f"size {mesh.shape[batch_axis]}"
+            )
+        return mapped(qp, act_scales, x)
+
+    return forward

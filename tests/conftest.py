@@ -41,6 +41,7 @@ SLOW_NODE_PATTERNS = (
     # whole modules: every test compiles multi-device/full-model programs
     "test_inference_engine.py",
     "test_spatial.py",
+    "test_spatial_quant.py",
     "test_masked.py",
     "test_trainer.py",
     "test_scaled_configs.py",
