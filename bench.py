@@ -258,6 +258,7 @@ def main() -> None:
     # OOM fallbacks. The headline takes whichever arm measures faster;
     # BENCH_INT8=0 skips the arm; BENCH_INT8_BATCH overrides the first
     # candidate.
+    int8_ran = False
     if os.environ.get("BENCH_INT8", "1") == "1":
         i8_pixel_cap = 128 * 180 * 320
         cap = max(1, i8_pixel_cap // (h * w))
@@ -270,6 +271,7 @@ def main() -> None:
         try:
             fps8, batch8 = measure("ups", i8_cands)
             arms[f"int8ups_b{batch8}"] = round(fps8, 2)
+            int8_ran = True
             if fps8 > fps:
                 fps, mode = fps8, "int8_ups"
         except Exception as e:
@@ -289,11 +291,15 @@ def main() -> None:
         "vs_baseline": round(fps / ref_fps, 2) if ref_fps else None,
         "mode": mode,
         "arms": arms,
-        # quality bound of the int8 (ups-only) arm vs fp32 (uint8 output
-        # domain, scripts/eval_int8.py psnr_by_arm +
-        # tests/test_quant.py::TestPretrainedBound)
-        "int8_ups_psnr_vs_fp32_db": 41.91,
     }
+    if int8_ran:
+        # Documented quality bound of the int8 (ups-only) arm vs fp32 on
+        # the pretrained 4x checkpoint (uint8 output domain; measured by
+        # scripts/eval_int8.py psnr_by_arm, pinned by
+        # tests/test_quant.py::TestPretrainedBound — a decision-record
+        # constant, not a per-run measurement). Emitted only when the
+        # int8 arm actually ran.
+        result["int8_ups_psnr_vs_fp32_db_bound"] = 41.91
     print(json.dumps(result))
 
 

@@ -205,8 +205,9 @@ class SRInferenceEngine:
                 else self.PIXEL_BUDGET
             )
             # Unbucketed production int8 at 4x: use its own measured
-            # (larger) operating point — batch 112 at 180x320 is both the
-            # HBM-safe bound and the fps optimum (INT8_UPS_PIXEL_BUDGET).
+            # (larger) operating point — batch 128 at 180x320 under the
+            # phase-summed head is both the HBM-safe bound and the fps
+            # optimum (INT8_UPS_PIXEL_BUDGET; class-level note above).
             # The masked/bucketed path keeps the conservative bf16 budget:
             # its watermark was not swept batch-by-batch.
             if (

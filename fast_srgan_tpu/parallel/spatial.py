@@ -366,6 +366,37 @@ def tiled_upscale_u8(params, frame_u8: np.ndarray, mesh: Mesh, dtype=jnp.bfloat1
     return np.asarray(out[0])
 
 
+def tiled_quant_upscale_u8(
+    qparams,
+    act_scales,
+    frame_u8: np.ndarray,
+    mesh: Mesh,
+    glue_dtype=jnp.bfloat16,
+    scale_factor: int = 4,
+):
+    """Convenience: uint8 HWC frame -> uint8 upscaled frame through the
+    int8 PTQ tier (:func:`build_tiled_quant_forward`), width-tiled across
+    `mesh`. The int8 counterpart of :func:`tiled_upscale_u8` — same 1-D
+    mesh contract; ``qparams``/``act_scales`` as documented on
+    :func:`build_tiled_quant_forward`. This is infer.py's
+    ``--int8 --tile`` path (the reference runs full frames single-device,
+    /root/reference/inference.py:48-53)."""
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"tiled_quant_upscale_u8 shards ONE frame and needs a 1-D mesh, "
+            f"got axes {mesh.axis_names}; use build_tiled_quant_forward for "
+            "batched 2-D ('data','sp') meshes"
+        )
+    forward = build_tiled_quant_forward(
+        mesh, glue_dtype=glue_dtype, scale_factor=scale_factor
+    )
+    x = jnp.asarray(frame_u8[None]).astype(jnp.float32) / 127.5 - 1.0
+    x = jax.device_put(x, NamedSharding(mesh, P(None, None, mesh.axis_names[0], None)))
+    y = forward(qparams, act_scales, x)
+    out = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+    return np.asarray(out[0])
+
+
 # ---------------------------------------------------------------------------
 # Spatially-sharded int8 forward — the PTQ tier under width tiling
 # ---------------------------------------------------------------------------

@@ -486,8 +486,10 @@ def calibration_batch_from_images(
 
     Center-crops up to ``k`` images to a single common shape (the smallest
     of the selected images, capped at max_h x max_w) so calibration costs
-    exactly one compile, and maps to [-1,1]. Returns None if no image is at
-    least 32x32 (callers fall back to :func:`default_calibration_batch`).
+    exactly one compile, and maps to [-1,1]. Images smaller than 32x32 or
+    with fewer than 3 channels are skipped (RGBA is accepted and sliced to
+    RGB); returns None if nothing usable remains (callers fall back to
+    :func:`default_calibration_batch`).
     """
     import numpy as np
 
@@ -496,6 +498,8 @@ def calibration_batch_from_images(
         im = np.asarray(im)
         if im.ndim != 3 or im.shape[0] < 32 or im.shape[1] < 32:
             continue
+        if im.shape[2] < 3:  # grayscale/2-channel: [..., :3] below would
+            continue  # yield ragged channel dims and crash np.stack
         picked.append(im)
         if len(picked) == k:
             break

@@ -193,14 +193,24 @@ class Trainer:
                 detail = f"differing subtrees: {differing}"
             else:
                 detail = "saved item is not a state-tree dict"
-            raise ValueError(
-                "checkpoint structure mismatch on resume: the run that "
-                "wrote this checkpoint used different training.ema_decay / "
-                "lr_schedule / grad_clip settings (these shape the "
-                f"checkpointed state tree; {detail}). Resume with the "
-                "original settings, or start a fresh run dir (checkpoint "
-                f"step {step})."
-            )
+            # A skeleton mismatch normally means incompatible settings,
+            # but it can also be benign metadata-representation drift (a
+            # future orbax recording containers in a form tree_skeleton
+            # does not normalize). Attempt the restore anyway: if orbax
+            # accepts it the drift was cosmetic; only if it also fails do
+            # we raise the settings diagnosis (round-4 ADVICE — never
+            # hard-block a resume orbax itself would have performed).
+            try:
+                return io.restore(step, like=like)
+            except Exception as e:
+                raise ValueError(
+                    "checkpoint structure mismatch on resume: the run that "
+                    "wrote this checkpoint used different training.ema_decay"
+                    " / lr_schedule / grad_clip settings (these shape the "
+                    f"checkpointed state tree; {detail}). Resume with the "
+                    "original settings, or start a fresh run dir (checkpoint "
+                    f"step {step})."
+                ) from e
         return io.restore(step, like=like)
 
     def _load_state_tree(self, tree: Dict[str, Any], step: int) -> None:

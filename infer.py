@@ -102,7 +102,7 @@ def main(argv=None) -> None:
         "upsampling stages, activation scales calibrated on the first input images "
         "(videos use a synthetic calibration batch). Measured speed/quality "
         "in scripts/eval_int8.py. Composes with --bucket (exact masked "
-        "path); not with --tile.",
+        "path) and with --tile (exact width-sharded int8 forward).",
     )
     parser.add_argument(
         "--tile", default=None, type=int,
@@ -146,16 +146,10 @@ def main(argv=None) -> None:
             "--tile and --bucket are mutually exclusive: tiling runs whole "
             "frames across devices, bucketing batches padded frames on one"
         )
-    if args.int8:
-        if args.tile:
-            parser.error(
-                "--int8 does not support --tile (the int8 tier has no "
-                "sharded forward; quant.py module docstring). --bucket "
-                "works: the masked int8 path is exact."
-            )
-        if tile:  # config-sourced value: ignore with a note
-            print("note: --int8 ignores config inference.tile")
-            tile = 0
+    # --int8 composes with BOTH scaling modes: --bucket via the exact
+    # masked int8 path, --tile via the exact width-sharded int8 forward
+    # (parallel/spatial.py build_tiled_quant_forward; asserted vs the
+    # single-device int8 tier in tests/test_spatial_quant.py).
     if args.video is not None:
         # Only reject EXPLICIT flags: a config carrying inference.tile/bucket
         # for directory runs must not break video invocations that never
@@ -253,13 +247,38 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     if tile > 0:
         from fast_srgan_tpu.parallel.mesh import make_mesh
-        from fast_srgan_tpu.parallel.spatial import tiled_upscale_u8
 
         mesh = make_mesh(tile, axis_name="sp")
         dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-        for name, path in zip(names, paths):
-            out = tiled_upscale_u8(params, load_image_u8(path), mesh, dtype=dtype)
-            save_image_u8(os.path.join(args.output_dir, name), out)
+        if args.int8:
+            # Exact width-sharded int8: the production ups-only PTQ arm
+            # under halo-exchange tiling (build_tiled_quant_forward),
+            # activation scales calibrated on the actual inputs above.
+            from fast_srgan_tpu import quant
+            from fast_srgan_tpu.parallel.spatial import tiled_quant_upscale_u8
+
+            qtree = quant.quantize_generator_params(
+                params, only=quant.is_ups_module
+            )
+            scales = quant.calibrate_scales(
+                params,
+                calib or [quant.default_calibration_batch()],
+                arch["scale_factor"],
+            )
+            for name, path in zip(names, paths):
+                out = tiled_quant_upscale_u8(
+                    qtree, scales, load_image_u8(path), mesh,
+                    glue_dtype=dtype, scale_factor=arch["scale_factor"],
+                )
+                save_image_u8(os.path.join(args.output_dir, name), out)
+        else:
+            from fast_srgan_tpu.parallel.spatial import tiled_upscale_u8
+
+            for name, path in zip(names, paths):
+                out = tiled_upscale_u8(
+                    params, load_image_u8(path), mesh, dtype=dtype
+                )
+                save_image_u8(os.path.join(args.output_dir, name), out)
     else:
         engine = make_engine(calib_batches=calib)
         # Memory-bounded: images decoded one batch at a time, saved as done.

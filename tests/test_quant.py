@@ -137,6 +137,26 @@ class TestCalibrationHelpers:
         assert b.shape == (2, 40, 48, 3)
         assert float(jnp.max(jnp.abs(b))) <= 1.0
 
+    def test_from_images_skips_non_rgb_channels(self):
+        """Grayscale HxWx1 mixed with RGB must be skipped, not crash
+        np.stack on ragged channel dims (round-4 ADVICE); RGBA slices."""
+        rng = np.random.default_rng(1)
+        imgs = [
+            rng.integers(0, 256, (48, 48, 1), np.uint8),  # gray: skipped
+            rng.integers(0, 256, (48, 48, 3), np.uint8),
+            rng.integers(0, 256, (48, 48, 4), np.uint8),  # RGBA: sliced
+        ]
+        b = quant.calibration_batch_from_images(imgs)
+        assert b.shape == (2, 48, 48, 3)
+
+    def test_from_images_only_gray_is_none(self):
+        assert (
+            quant.calibration_batch_from_images(
+                [np.zeros((48, 48, 1), np.uint8)]
+            )
+            is None
+        )
+
     def test_from_images_none_usable(self):
         assert (
             quant.calibration_batch_from_images(

@@ -149,6 +149,49 @@ class TestTiledQuantForward:
         with pytest.raises(ValueError, match="scale_factor"):
             build_tiled_quant_forward(mesh, scale_factor=3)
 
+    def test_convenience_matches_unsharded(self):
+        """tiled_quant_upscale_u8 (the infer.py --int8 --tile primitive):
+        uint8 in/out, <=1 count vs the single-device int8 rendering."""
+        _, params, scales, _ = _setup()
+        qtree = quant.quantize_generator_params(
+            params, only=quant.is_ups_module
+        )
+        rng = np.random.default_rng(11)
+        frame = rng.integers(0, 256, (16, 64, 3), dtype=np.uint8)
+        x = jnp.asarray(frame[None]).astype(jnp.float32) / 127.5 - 1.0
+        single = quant.sr_quant_forward(
+            qtree, scales, x, glue_dtype=jnp.float32
+        )
+        single_u8 = np.asarray(
+            ((jnp.asarray(single) + 1.0) * 127.5).clip(0, 255)
+        ).astype(np.uint8)
+
+        from fast_srgan_tpu.parallel.spatial import tiled_quant_upscale_u8
+
+        mesh = make_mesh(8, axis_name="sp")
+        out = tiled_quant_upscale_u8(
+            qtree, scales, frame, mesh, glue_dtype=jnp.float32
+        )
+        assert out.shape == (64, 256, 3) and out.dtype == np.uint8
+        diff = out.astype(np.int32) - single_u8[0].astype(np.int32)
+        assert np.abs(diff).max() <= 1
+
+    def test_convenience_rejects_2d_mesh(self):
+        from jax.sharding import Mesh
+
+        from fast_srgan_tpu.parallel.spatial import tiled_quant_upscale_u8
+
+        _, params, scales, _ = _setup()
+        qtree = quant.quantize_generator_params(
+            params, only=quant.is_ups_module
+        )
+        devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devices, ("data", "sp"))
+        with pytest.raises(ValueError, match="1-D mesh"):
+            tiled_quant_upscale_u8(
+                qtree, scales, np.zeros((16, 64, 3), np.uint8), mesh
+            )
+
     def test_rejects_indivisible_width(self):
         _, params, scales, _ = _setup()
         qtree = quant.quantize_generator_params(
@@ -159,3 +202,77 @@ class TestTiledQuantForward:
         x = jnp.zeros((1, 16, 60, 3), jnp.float32)
         with pytest.raises(ValueError, match="not divisible"):
             fn(qtree, scales, x)
+
+
+class TestTiledInt8CLI:
+    """infer.py --int8 --tile: the CLI-driven composition of the two
+    scaling tiers, asserted exact (<=1 uint8 count) vs the single-device
+    int8 rendering. Round-4 shipped the library path only; this pins the
+    production entry point."""
+
+    def test_cli_matches_single_device_int8(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        from PIL import Image
+
+        from fast_srgan_tpu.checkpoints.npz_io import save_npz_params
+        from fast_srgan_tpu.models import Generator
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        model = Generator(n_filters=8, n_layers=2)
+        params = model.init(jax.random.key(3), jnp.zeros((1, 8, 8, 3)))
+        ckpt = tmp_path / "tiny.npz"
+        save_npz_params(str(ckpt), params)
+
+        rng = np.random.default_rng(13)
+        img_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        img_dir.mkdir()
+        frames = {}
+        for name in ("a.png", "b.png"):
+            arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(img_dir / name)
+            frames[name] = arr
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        env["PYTHONPATH"] = repo
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "infer.py"),
+             "--image_dir", str(img_dir), "--output_dir", str(out_dir),
+             "--checkpoint", str(ckpt), "--int8", "--tile", "8", "--fp32"],
+            env=env, capture_output=True, text=True, timeout=600, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+
+        # Reproduce the CLI's exact policy single-device: ups-only PTQ,
+        # activation scales calibrated on the same inputs in list order.
+        names = sorted(frames)
+        calib = quant.calibration_batch_from_images(
+            frames[n] for n in names
+        )
+        scales = quant.calibrate_scales(params, [calib], 4)
+        qtree = quant.quantize_generator_params(
+            params, only=quant.is_ups_module
+        )
+        for name in names:
+            x = (
+                jnp.asarray(frames[name][None]).astype(jnp.float32) / 127.5
+                - 1.0
+            )
+            y = quant.sr_quant_forward(
+                qtree, scales, x, glue_dtype=jnp.float32
+            )
+            want = np.asarray(
+                ((jnp.asarray(y) + 1.0) * 127.5).clip(0, 255)
+            ).astype(np.uint8)[0]
+            got = np.asarray(Image.open(out_dir / name))
+            assert got.shape == want.shape == (192, 256, 3)
+            diff = got.astype(np.int32) - want.astype(np.int32)
+            assert np.abs(diff).max() <= 1, (name, np.abs(diff).max())
