@@ -221,7 +221,42 @@ def lr_tail_8x(
         "upsampling_1": params["upsampling_2"],
         "head_conv": params["head_conv"],
     }
-    return lr_tail(y2, sub, dtype=dtype, mask=mask2)
+    # Pinned to the summed head: the 8x hierarchical tail runs the 4x
+    # transform at 2x resolution, a shape class head_form_4x's 4x-geometry
+    # measurements don't cover — keep the shipped form.
+    return lr_tail(y2, sub, dtype=dtype, mask=mask2, head="summed")
+
+
+#: LR-pixel threshold of the "memory-capped streaming" shape class (the
+#: 4K frame, 540x960). Below it the phase-summed head's batch-cap lift is
+#: worth 14-18%; at/above it with batch >= 2 the cap is ~8 either way and
+#: the concat head's single dense contraction schedules ~3% better
+#: (measured, scripts/bench_4k.py — docs/DESIGN.md "head policy").
+CONCAT_HEAD_MIN_PIXELS = 540 * 960
+
+
+def head_form_4x(batch: int, lr_pixels: int) -> str:
+    """Measured head-form policy for the FLOAT 4x tail.
+
+    Returns ``"summed"`` or ``"concat"`` from the program's static shape
+    (batch, LR pixels per frame) — both are trace-time constants, so each
+    compiled program gets exactly one form. The decision table (all v5e,
+    docs/DESIGN.md):
+
+    - summed lifts the HBM-capped batch (720p bf16: 529.6 fps @128 vs
+      465 @96 concat) and wins single-frame latency (4K b1: 38.7 ms vs
+      42.2) -> default everywhere;
+    - at memory-capped streaming batches (>= 2 frames of >= 4K-class
+      pixels, where the cap is ~8 regardless of form) the watermark cut
+      buys nothing and the 4-conv split costs ~3% schedule efficiency:
+      concat measured 34.7 fps vs summed 33.6 -> concat there.
+
+    The int8 tier (quant._tail_4x) keeps the summed head unconditionally:
+    it leads every measured row (docs/DESIGN.md mode-by-shape table).
+    """
+    if batch >= 2 and lr_pixels >= CONCAT_HEAD_MIN_PIXELS:
+        return "concat"
+    return "summed"
 
 
 def lr_tail(
@@ -229,6 +264,7 @@ def lr_tail(
     params: Dict[str, Any],
     dtype: Any = jnp.float32,
     mask: jnp.ndarray | None = None,
+    head: str = "auto",
 ) -> jnp.ndarray:
     """Apply the 4x upsampling tail entirely at LR resolution.
 
@@ -243,11 +279,15 @@ def lr_tail(
         noise (the 315-FPS headline includes the scatters), so the simpler
         form stays.
       dtype: compute dtype for the convolutions (params stay fp32).
+      head: ``"summed"`` (phase-summed head — the [B,H,W,16F] concat is
+        never materialized), ``"concat"`` (one dense head conv over the
+        materialized concat), or ``"auto"`` (:func:`head_form_4x`, the
+        measured per-shape-class policy). Both forms are exact vs the
+        canonical graph (tests/test_lr_tail.py).
 
     Returns [B, 4H, 4W, 3] in [-1, 1], numerically the canonical tail.
     """
     up0, up1 = params["upsampling_0"], params["upsampling_1"]
-    head = params["head_conv"]
     y = y.astype(dtype)
 
     if mask is not None:
@@ -262,6 +302,33 @@ def lr_tail(
     alpha1 = up0["relu"]["alpha"].astype(dtype)
     a1 = jnp.where(a1 >= 0, a1, alpha1 * a1)  # [B, H, W, 4F]
 
+    if head == "auto":
+        head = head_form_4x(y.shape[0], y.shape[1] * y.shape[2])
+    if head not in ("summed", "concat"):
+        raise ValueError(f"head must be 'summed'/'concat'/'auto': {head!r}")
+    head_p = params["head_conv"]
+    k2 = _phase_kernels_2x(up1["conv"]["kernel"]).items()
+    b2 = up1["conv"]["bias"].astype(dtype)
+    alpha2 = up1["relu"]["alpha"].astype(dtype)
+    kd = _head_kernel_4x(head_p["kernel"])
+
+    if head == "concat":
+        # Stage 2: four per-phase conv2x2s, concatenated phase-major, then
+        # ONE dense head contraction — the best schedule at memory-capped
+        # streaming batches (head_form_4x).
+        phases = [
+            _conv(a1, kp.astype(dtype), ((1 - p, p), (1 - q, q))) + b2
+            for (p, q), kp in k2
+        ]
+        a2 = jnp.concatenate(phases, axis=-1)  # [B, H, W, 16F]
+        if mask is not None:
+            a2 = a2 * mask
+        a2 = jnp.where(a2 >= 0, a2, alpha2 * a2)
+        z = _conv(a2, kd.astype(dtype), ((1, 1), (1, 1)))
+        z = z + jnp.repeat(head_p["bias"], 16).astype(dtype)
+        z = jnp.tanh(z.astype(jnp.float32))  # [B, H, W, 48]
+        return pixel_shuffle_nhwc(z, 4)
+
     # Stage 2 + head, phase-summed: the head kernel's input channels are
     # phase-major and the stage-2 PReLU slope is a single shared scalar,
     # so conv(prelu(concat(phases)), Kd) == sum_p conv(prelu(phase_p),
@@ -272,10 +339,6 @@ def lr_tail(
     # operating point moves 465 fps @96 -> 531.9 @128; fp32 partials keep
     # the split 16F contraction at the one-conv form's precision (each
     # conv accumulates fp32 internally either way).
-    k2 = _phase_kernels_2x(up1["conv"]["kernel"]).items()
-    b2 = up1["conv"]["bias"].astype(dtype)
-    alpha2 = up1["relu"]["alpha"].astype(dtype)
-    kd = _head_kernel_4x(head["kernel"])
     f4 = a1.shape[-1]  # 4F
     z = None
     for i, ((p, q), kp) in enumerate(k2):
@@ -289,7 +352,7 @@ def lr_tail(
             preferred_element_type=jnp.float32,
         )
         z = part if z is None else z + part
-    z = z + jnp.repeat(head["bias"], 16).astype(jnp.float32)
+    z = z + jnp.repeat(head_p["bias"], 16).astype(jnp.float32)
     z = jnp.tanh(z)  # [B, H, W, 48]
     return pixel_shuffle_nhwc(z, 4)
 
@@ -304,7 +367,8 @@ def generator_apply_lr_tail(
     ``valid_hw`` enables the exact zero-pad-masked forward (see
     Generator.__call__). 2x/4x run the whole tail at LR resolution;
     8x runs hierarchically with at most 2x-resolution tensors
-    (:func:`lr_tail_8x`).
+    (:func:`lr_tail_8x`). The 4x head form follows the measured
+    per-shape-class policy (:func:`head_form_4x`) — both forms exact.
     """
     if model.scale_factor not in (2, 4, 8):
         raise ValueError(

@@ -176,6 +176,28 @@ def upscale_videos(
         )
     w, h = sizes[0]
 
+    # int8 tier: calibrate activation scales on REAL decoded frames (the
+    # same policy as image inference — infer.py calibrates on the actual
+    # inputs; quant.default_calibration_batch's docstring says real is
+    # preferred). The first frames of each stream are decoded once extra
+    # here (cheap); scales are jit inputs so recalibration never
+    # recompiles. Measured A/B on test clips: scripts/eval_int8.py
+    # --calib_ab (docs/DESIGN.md "int8 decision record").
+    if getattr(engine, "quantize", False):
+        from itertools import islice
+
+        from fast_srgan_tpu import quant
+
+        per = max(1, 8 // len(input_paths))
+        first: list = []
+        for p in input_paths:
+            first.extend(islice(iter_video_frames(p, limit=per), per))
+            if len(first) >= 8:
+                break
+        cb = quant.calibration_batch_from_images(first)
+        if cb is not None:
+            engine.recalibrate([cb])
+
     # Writer size must match the engine's scale exactly: cv2 silently DROPS
     # wrong-sized frames (an empty output that still reports success).
     s = engine.SCALE

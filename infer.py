@@ -99,8 +99,9 @@ def main(argv=None) -> None:
         "--int8", action="store_true",
         help="int8 PTQ inference (fast_srgan_tpu/quant.py, ups-only — the "
         "measured-optimal policy): int8 convs on the MXU for the LR-domain "
-        "upsampling stages, activation scales calibrated on the first input images "
-        "(videos use a synthetic calibration batch). Measured speed/quality "
+        "upsampling stages, activation scales calibrated on real inputs — "
+        "the first input images, or the first decoded frames of each video "
+        "stream (fast_srgan_tpu/video.py). Measured speed/quality "
         "in scripts/eval_int8.py. Composes with --bucket (exact masked "
         "path) and with --tile (exact width-sharded int8 forward).",
     )

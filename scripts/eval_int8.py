@@ -84,6 +84,15 @@ def main():
         "and tail-only (+ trunk-only with --hybrids)",
     )
     p.add_argument(
+        "--calib_ab", default=None,
+        help="directory of frames, or 'synthetic' (a procedural clip) — "
+        "A/B the production ups-only arm's PSNR vs fp32 ON those frames "
+        "under (a) the synthetic default calibration batch and (b) "
+        "calibration on the frames themselves (the real-input policy). "
+        "Measures what --video --int8 gains by calibrating on its first "
+        "decoded frames instead of the synthetic batch (quality-only).",
+    )
+    p.add_argument(
         "--psnr_percentiles", default=None,
         help="comma-separated activation-calibration percentiles (e.g. "
         "'99.5,99.9,99.99') — reports PSNR of the production ups-only arm "
@@ -215,6 +224,69 @@ def main():
                 params, [xq], scale_factor=4, percentile=float(qs)
             )
             psnr_percentile[qs] = round(psnr_of(ups, s_q), 2)
+    # calibration-source A/B on the production arm: synthetic batch vs the
+    # evaluation frames themselves (what video int8 calibrating on its
+    # first decoded frames buys — fast_srgan_tpu/video.py upscale_videos)
+    calib_ab = None
+    if args.calib_ab:
+        ups = host_trees["int8_ups_only"]
+        if args.calib_ab == "synthetic":
+            # procedural "clip": temporally-correlated frames — a panning
+            # window over one natural-statistics master image, plus sensor
+            # noise; video-like content the default batch never saw
+            crng = np.random.default_rng(42)
+            yy, xx = np.mgrid[0 : h + 64, 0 : w + 64].astype(np.float32)
+            master = (
+                110 + 70 * np.sin(yy / 37) * np.cos(xx / 53)
+                + 40 * np.sign(np.sin(yy / 9 + xx / 17))
+                + 12 * crng.standard_normal(yy.shape)
+            )
+            master = np.clip(master, 0, 255)
+            frames = []
+            for t in range(8):
+                win = master[4 * t : 4 * t + h, 8 * t : 8 * t + w]
+                f = np.stack(
+                    [
+                        np.clip(
+                            win + 6 * crng.standard_normal(win.shape), 0, 255
+                        )
+                        for _ in range(3)
+                    ],
+                    -1,
+                )
+                frames.append(f.astype(np.uint8))
+        else:
+            from fast_srgan_tpu.utils.images import (
+                list_image_files,
+                load_image_u8,
+            )
+
+            frames = [
+                load_image_u8(os.path.join(args.calib_ab, n))
+                for n in list_image_files(args.calib_ab)[:8]
+            ]
+        xe = quant.calibration_batch_from_images(frames, max_h=h, max_w=w)
+        if xe is None:
+            raise SystemExit(f"--calib_ab: no usable frames in {args.calib_ab}")
+        ups_scales = {
+            "synthetic_batch": scales,
+            "real_frames": quant.calibrate_scales(
+                params, [xe], scale_factor=4
+            ),
+        }
+        ref_e = quant.sr_float_forward(params, xe, scale_factor=4)
+
+        def psnr_on(s):
+            out = quant.sr_quant_forward(
+                ups, s, xe, scale_factor=4, glue_dtype=jnp.float32
+            )
+            mse = float(np.mean((u8(ref_e) - u8(out)) ** 2))
+            return round(10 * np.log10(255.0**2 / max(mse, 1e-12)), 2)
+
+        ab = {k: psnr_on(s) for k, s in ups_scales.items()}
+        ab["delta_db"] = round(ab["real_frames"] - ab["synthetic_batch"], 2)
+        calib_ab = ab
+        print(f"# calib_ab: {json.dumps(ab)}", file=sys.stderr, flush=True)
     trees = {
         name: jax.device_put(tree)
         for name, tree in host_trees.items()
@@ -248,6 +320,7 @@ def main():
         "psnr_int8_tail_only_vs_fp32_u8_db": round(psnr_tail, 2),
         "psnr_by_arm": psnr_by_arm,
         "psnr_percentile": psnr_percentile,
+        "calib_ab": calib_ab,
         "arms": arms,
         "best_fps_bf16": fb,
         "best_fps_int8": fi,

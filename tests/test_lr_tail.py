@@ -149,3 +149,69 @@ class TestLRTailExactness:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(model.apply(v, x)), atol=2e-5
         )
+
+
+class TestHeadPolicy:
+    """The measured per-shape-class 4x head form (head_form_4x): summed by
+    default, concat at memory-capped streaming batches (>=2 frames of
+    >=4K-class LR pixels). Both forms exact vs the canonical graph."""
+
+    def test_policy_table(self):
+        from fast_srgan_tpu.ops.lr_tail import (
+            CONCAT_HEAD_MIN_PIXELS,
+            head_form_4x,
+        )
+
+        assert head_form_4x(128, 180 * 320) == "summed"  # 720p stream
+        assert head_form_4x(512, 90 * 160) == "summed"  # 360p stream
+        assert head_form_4x(1, 540 * 960) == "summed"  # 4K latency (b1)
+        assert head_form_4x(8, 540 * 960) == "concat"  # 4K stream
+        assert head_form_4x(2, CONCAT_HEAD_MIN_PIXELS) == "concat"
+
+    @pytest.mark.parametrize("head", ["summed", "concat"])
+    def test_both_forms_match_canonical(self, head):
+        model = Generator(n_filters=16, n_layers=1, dtype=jnp.float32)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(9), (2, 11, 13, 3), minval=-1, maxval=1
+        )
+        v = _perturbed_init(model, x)
+        ref = model.apply(v, x)
+        y = model.apply(v, x, trunk_only=True)
+        got = lr_tail(y, v["params"], dtype=jnp.float32, head=head)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5
+        )
+
+    def test_concat_masked_matches_crop(self):
+        """The concat form's masked path must stay bucketed-exact."""
+        model = Generator(n_filters=16, n_layers=1, dtype=jnp.float32)
+        xp = jax.random.uniform(
+            jax.random.PRNGKey(11), (1, 12, 16, 3), minval=-1, maxval=1
+        )
+        vh, vw = 9, 13
+        xp = xp.at[:, vh:, :, :].set(0.0).at[:, :, vw:, :].set(0.0)
+        v = _perturbed_init(model, xp)
+        ref = model.apply(v, xp[:, :vh, :vw, :])
+
+        from fast_srgan_tpu.ops.norm import valid_mask_nhwc
+
+        vhs = jnp.asarray([vh], jnp.int32)
+        vws = jnp.asarray([vw], jnp.int32)
+        y = model.apply(v, xp, trunk_only=True, valid_hw=(vhs, vws))
+        mask, _ = valid_mask_nhwc(y.shape[1], y.shape[2], vhs, vws)
+        got = lr_tail(
+            y, v["params"], dtype=jnp.float32, mask=mask, head="concat"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[:, : 4 * vh, : 4 * vw, :]),
+            np.asarray(ref),
+            atol=2e-5,
+        )
+
+    def test_rejects_bad_head(self):
+        model = Generator(n_filters=16, n_layers=1, dtype=jnp.float32)
+        x = jnp.zeros((1, 8, 8, 3))
+        v = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(v, x, trunk_only=True)
+        with pytest.raises(ValueError, match="head must be"):
+            lr_tail(y, v["params"], head="dense")

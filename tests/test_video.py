@@ -125,6 +125,52 @@ class TestMultiStream:
             for x, y in zip(fm, fs):
                 np.testing.assert_array_equal(x, y)
 
+    def test_video_int8_calibrates_on_real_frames(self, tmp_path):
+        """--video --int8 policy: activation scales come from the first
+        decoded frames of the input streams (the image path's real-input
+        policy), not the synthetic default batch (upscale_videos)."""
+        from itertools import islice
+
+        from fast_srgan_tpu import quant
+        from fast_srgan_tpu.video import upscale_videos
+
+        # >= 32x32: smaller frames are skipped by
+        # calibration_batch_from_images and the engine would keep the
+        # synthetic batch
+        src = self._make_video(
+            str(tmp_path / "q.mp4"), 9, seed=7, size=(48, 48)
+        )
+        model = Generator(n_filters=8, n_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32,
+            quantize=True,
+        )
+        default_scales = jax.tree_util.tree_map(
+            np.asarray, engine.params["s"]
+        )
+        out = str(tmp_path / "q4x.mp4")
+        stats = upscale_videos(engine, [src], [out], batch_size=4)
+        assert stats["frames"] == 9
+
+        first = list(islice(iter_video_frames(src, limit=8), 8))
+        cb = quant.calibration_batch_from_images(first)
+        assert cb is not None
+        expected = quant.calibrate_scales(params, [cb], 4)
+        got = jax.tree_util.tree_map(np.asarray, engine.params["s"])
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal, got, expected
+        )
+        # and it really changed something vs the synthetic default
+        changed = jax.tree_util.tree_reduce(
+            lambda acc, pair: acc or bool(np.any(pair)),
+            jax.tree_util.tree_map(
+                lambda a, b: np.asarray(a != b), got, default_scales
+            ),
+            False,
+        )
+        assert changed
+
     def test_mixed_sizes_rejected(self, tmp_path):
         from fast_srgan_tpu.video import upscale_videos
 
