@@ -69,6 +69,16 @@ def main():
         "watermark slightly higher than bf16's at equal batch)",
     )
     p.add_argument("--shape", default="180x320")
+    p.add_argument(
+        "--scale", type=int, default=4, choices=[2, 4, 8],
+        help="generator scale factor. 2x/8x have no pretrained artifact "
+        "(the reference is fixed 4x — /root/reference/model.py:97-100); "
+        "their weights are adapted from the 4x checkpoint (2x: drop the "
+        "second upsampling stage; 8x: clone it as a third) — realistic "
+        "trained-weight distributions for PTQ fidelity, and the exact "
+        "per-stage structure the production 2x/8x generators compile to "
+        "for speed",
+    )
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--glue", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument(
@@ -106,21 +116,39 @@ def main():
 
     ckpt = args.checkpoint or resolve_default_checkpoint()
     params = load_generator_params(ckpt)
+    sf = args.scale
+    if sf != 4:
+        # adapt the 4x checkpoint's stages to the requested scale (see
+        # --scale help); the upsampling convs are all F->4F so stage
+        # weights transplant exactly
+        bare = dict(params["params"] if "params" in params else params)
+        if sf == 2:
+            bare.pop("upsampling_1")
+        else:
+            bare["upsampling_2"] = bare["upsampling_1"]
+        params = {"params": bare}
 
     # --- quality (fp32 vs int8, uint8 output domain) -----------------------
     is_trunk, is_tail = quant.is_trunk_module, quant.is_tail_module
 
-    xq = quant.default_calibration_batch(h=96, w=160, n=4, seed=7)
-    scales = quant.calibrate_scales(params, [xq], scale_factor=4)
+    # 8x: half-size quality frames (the hierarchical tail's 2x-res
+    # 1024-ch maps make the 96x160 batch ~10x the 4x cost; PSNR is
+    # vs fp32 on the same frames either way)
+    xq = (
+        quant.default_calibration_batch(h=48, w=80, n=2, seed=7)
+        if sf == 8
+        else quant.default_calibration_batch(h=96, w=160, n=4, seed=7)
+    )
+    scales = quant.calibrate_scales(params, [xq], scale_factor=sf)
     qparams = quant.quantize_generator_params(params)
     qtail = quant.quantize_generator_params(params, only=is_tail)
-    ref = quant.sr_float_forward(params, xq, scale_factor=4)
+    ref = quant.sr_float_forward(params, xq, scale_factor=sf)
     u8 = lambda y: np.clip((np.asarray(y, np.float32) + 1) * 127.5, 0, 255)
 
     def psnr_of(tree, s=None):
         out = quant.sr_quant_forward(
             tree, s if s is not None else scales, xq,
-            scale_factor=4, glue_dtype=jnp.float32,
+            scale_factor=sf, glue_dtype=jnp.float32,
         )
         mse = float(np.mean((u8(ref) - u8(out)) ** 2))
         return 10 * np.log10(255.0**2 / max(mse, 1e-12))
@@ -131,7 +159,9 @@ def main():
 
     # --- speed: bf16 LR-tail (production) vs int8 ---------------------------
     glue = jnp.bfloat16 if args.glue == "bfloat16" else jnp.float32
-    model = Generator(n_filters=64, n_layers=8, dtype=jnp.bfloat16)
+    model = Generator(
+        n_filters=64, n_layers=8, dtype=jnp.bfloat16, scale_factor=sf
+    )
     apply_bf16 = functools.partial(generator_apply_lr_tail, model)
     copts = tuned_compiler_options()
 
@@ -145,7 +175,7 @@ def main():
     @functools.partial(jax.jit, compiler_options=copts)
     def fwd_int8(qp, s, x_u8):
         x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        y = quant.sr_quant_forward(qp, s, x, scale_factor=4, glue_dtype=glue)
+        y = quant.sr_quant_forward(qp, s, x, scale_factor=sf, glue_dtype=glue)
         u = ((y + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
         return u, jnp.sum(u, dtype=jnp.int32)
 
@@ -213,7 +243,7 @@ def main():
     if args.psnr_percentiles:
         ups = host_trees["int8_ups_only"]
         s_max = quant.calibrate_scales(
-            params, [xq], scale_factor=4, percentile=None
+            params, [xq], scale_factor=sf, percentile=None
         )
         psnr_percentile = {
             "default": round(psnr_of(ups), 2),  # quant.DEFAULT_PERCENTILE
@@ -221,7 +251,7 @@ def main():
         }
         for qs in args.psnr_percentiles.split(","):
             s_q = quant.calibrate_scales(
-                params, [xq], scale_factor=4, percentile=float(qs)
+                params, [xq], scale_factor=sf, percentile=float(qs)
             )
             psnr_percentile[qs] = round(psnr_of(ups, s_q), 2)
     # calibration-source A/B on the production arm: synthetic batch vs the
@@ -271,14 +301,14 @@ def main():
         ups_scales = {
             "synthetic_batch": scales,
             "real_frames": quant.calibrate_scales(
-                params, [xe], scale_factor=4
+                params, [xe], scale_factor=sf
             ),
         }
-        ref_e = quant.sr_float_forward(params, xe, scale_factor=4)
+        ref_e = quant.sr_float_forward(params, xe, scale_factor=sf)
 
         def psnr_on(s):
             out = quant.sr_quant_forward(
-                ups, s, xe, scale_factor=4, glue_dtype=jnp.float32
+                ups, s, xe, scale_factor=sf, glue_dtype=jnp.float32
             )
             mse = float(np.mean((u8(ref_e) - u8(out)) ** 2))
             return round(10 * np.log10(255.0**2 / max(mse, 1e-12)), 2)
