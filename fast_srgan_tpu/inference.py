@@ -251,7 +251,7 @@ class SRInferenceEngine:
             # (41.91 dB vs fp32 against tail-only's 40.60, production
             # percentile calibration: one fewer quantized layer); with
             # the phase-summed head the operating point is batch 128 at
-            # 657.6 fps sustained (623.4 on the 800-frame protocol).
+            # 657.6 fps sustained (655.1 on the 800-frame protocol).
             # Quantizing the IN-glued 64-ch trunk LOSES (trunk-only 366.9,
             # full int8 405.2: the float glue keeps activations at bf16
             # width, so the trunk's convs gain nothing and pay the

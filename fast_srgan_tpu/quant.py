@@ -12,8 +12,9 @@ between the convs, and end-to-end the win survives ONLY in the LR-domain
 tail: full-graph int8 measures 0.87x, trunk-only 0.79x, tail-only 1.12x,
 and **ups-only** (upsampling stages int8, trunk AND head float) wins —
 with the phase-summed head (see :func:`_tail_4x`) **657.6 fps at batch
-128** sustained-chain / 623.4 on the 800-frame protocol, vs the bf16
-arm's 531.9/529.6 at the same batch. Keeping the head float shrinks the
+128** sustained-chain / 655.1 on the 800-frame protocol (BENCH_r04.json;
+an early 623.4 predated the pixel-cap batch policy), vs the bf16
+arm's 531.9/530.9 at the same batch. Keeping the head float shrinks the
 program's widest live int32 buffer (the 1024-ch LR-domain head output)
 and quantizes one fewer layer, raising fidelity (41.91 dB vs tail-only's
 40.60 under the production 99.99th-percentile calibration). The
