@@ -167,15 +167,29 @@ class SRInferenceEngine:
     # ns/LR-pixel at every shape tested, vs ~100 at batch 1 and 55-77 at
     # batch >= 8. So the engine only ever compiles batch 1 or batch >= 8.
     PIXEL_BUDGET = 4_200_000
-    # The production int8 (ups-only, unbucketed, 4x) program keeps the
-    # head's int32 output small, and its phase-summed head (quant._tail_4x)
-    # never materializes the 16F concat that was the HBM watermark — so
-    # batch 128 at 180x320 runs (bf16 OOMs past ~104) and is the measured
-    # fps optimum: 657.6 fps vs 579.8 at the old concat-form cap of 112
-    # (scripts/phase_summed_head_experiment.py). Larger batches still run
-    # but XLA's schedule collapses (132+: ~346 ms/batch), so the budget IS
-    # the operating point, not just an OOM ceiling.
-    INT8_UPS_PIXEL_BUDGET = 128 * 180 * 320  # 7_372_800
+    # The production int8 (ups-only, unbucketed) programs get their own
+    # measured per-scale batch budgets (LR pixels per compiled program;
+    # sweeps: scripts/eval_int8.py --scale, v5e 2026-08-20 at 180x320 —
+    # docs/DESIGN.md "int8 decision record"):
+    #   4x: batch 128 — the phase-summed head (quant._tail_4x) never
+    #       materializes the 16F concat that was the HBM watermark, so
+    #       batch 128 runs (bf16 OOMs past ~104) and is the fps optimum:
+    #       657.6 fps vs 579.8 at the old concat-form cap of 112
+    #       (scripts/phase_summed_head_experiment.py). Larger batches
+    #       still run but XLA's schedule collapses (132+: ~346 ms/batch),
+    #       so the budget IS the operating point, not just an OOM ceiling.
+    #   2x: batch 128 is the optimum here too (1129 fps vs 1037 bf16;
+    #       160+ collapses to ~730) — the same pixel count as 4x.
+    #   8x: batch 16 (139.1 fps vs 112.8 bf16@24; 24 measures 136.9 and
+    #       32 OOMs — the hierarchical tail's int32 buffers at 2x
+    #       resolution are the watermark), i.e. the 4x budget / 8.
+    INT8_UPS_PIXEL_BUDGETS = {
+        2: 128 * 180 * 320,  # 7_372_800
+        4: 128 * 180 * 320,  # 7_372_800
+        8: 16 * 180 * 320,   # 921_600
+    }
+    # Back-compat alias (the 4x figure this constant always meant).
+    INT8_UPS_PIXEL_BUDGET = INT8_UPS_PIXEL_BUDGETS[4]
 
     def __init__(
         self,
@@ -204,18 +218,17 @@ class SRInferenceEngine:
                 self.PIXEL_BUDGET // 4 if scale_factor == 8
                 else self.PIXEL_BUDGET
             )
-            # Unbucketed production int8 at 4x: use its own measured
-            # (larger) operating point — batch 128 at 180x320 under the
-            # phase-summed head is both the HBM-safe bound and the fps
-            # optimum (INT8_UPS_PIXEL_BUDGET; class-level note above).
+            # Unbucketed production int8: use its own measured per-scale
+            # operating point (INT8_UPS_PIXEL_BUDGETS; class-level note —
+            # each scale's budget is a swept fps optimum, not a guess).
             # The masked/bucketed path keeps the conservative bf16 budget:
             # its watermark was not swept batch-by-batch.
             if (
                 quantize in (True, "ups")
                 and not bucket
-                and scale_factor == 4
+                and scale_factor in self.INT8_UPS_PIXEL_BUDGETS
             ):
-                pixel_budget = self.INT8_UPS_PIXEL_BUDGET
+                pixel_budget = self.INT8_UPS_PIXEL_BUDGETS[scale_factor]
         self.pixel_budget = pixel_budget
         self.SCALE = scale_factor
         self.model = Generator(

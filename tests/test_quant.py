@@ -355,6 +355,24 @@ class TestEngineGuards:
         )
         assert custom.pixel_budget == 1000
 
+    @pytest.mark.parametrize("scale,batch", [(2, 128), (8, 16)])
+    def test_int8_ups_pixel_budget_other_scales(self, scale, batch):
+        """2x/8x int8 get their own swept budgets (eval_int8 --scale,
+        v5e 2026-08-20): 2x optimum batch 128 at 180x320 (same pixel
+        count as 4x), 8x batch 16 (the hierarchical tail's int32 buffers
+        OOM at 32)."""
+        from fast_srgan_tpu.inference import SRInferenceEngine
+
+        m, v, x = _small(scale)
+        kw = dict(n_filters=8, n_layers=2, dtype=jnp.float32,
+                  scale_factor=scale)
+        i8 = SRInferenceEngine(v, quantize=True, calib_batches=[x], **kw)
+        assert (
+            i8.pixel_budget
+            == SRInferenceEngine.INT8_UPS_PIXEL_BUDGETS[scale]
+        )
+        assert i8.effective_batch_size(180, 320, requested=256) == batch
+
     def test_recalibrate_requires_quantize(self):
         from fast_srgan_tpu.inference import SRInferenceEngine
 
