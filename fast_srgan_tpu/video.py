@@ -178,11 +178,14 @@ def upscale_videos(
 
     # int8 tier: calibrate activation scales on REAL decoded frames (the
     # same policy as image inference — infer.py calibrates on the actual
-    # inputs; quant.default_calibration_batch's docstring says real is
-    # preferred). The first frames of each stream are decoded once extra
+    # inputs). The first frames of each stream are decoded once extra
     # here (cheap); scales are jit inputs so recalibration never
-    # recompiles. Measured A/B on test clips: scripts/eval_int8.py
-    # --calib_ab (docs/DESIGN.md "int8 decision record").
+    # recompiles. Measured A/B vs the synthetic default batch on a test
+    # clip (scripts/eval_int8.py --calib_ab, v5e 2026-08-20): -0.24 dB —
+    # noise-level and content-specific; the policy buys one calibration
+    # story across images/video and robustness to streams the synthetic
+    # batch doesn't cover, not a PSNR win (docs/DESIGN.md "Calibration
+    # source").
     if getattr(engine, "quantize", False):
         from itertools import islice
 

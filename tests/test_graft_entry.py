@@ -36,15 +36,22 @@ class TestEntry:
 
 
 class TestDryrunMultichip:
-    def test_eight_virtual_devices(self, graft, capsys):
+    # capfd, not capsys: when this process has no prior device access the
+    # probe honors JAX_PLATFORMS=axon (1 tunnel device) and the dryrun
+    # correctly self-provisions in a subprocess, whose detailed "dp
+    # gan_step ok" lines land on the inherited OS fd — invisible to
+    # capsys. fd-level capture sees both the in-process and the
+    # subprocess mode, so the assertion checks the real content either
+    # way instead of depending on which tests ran earlier.
+    def test_eight_virtual_devices(self, graft, capfd):
         graft.dryrun_multichip(8)
-        out = capsys.readouterr().out
+        out = capfd.readouterr().out
         assert "dryrun_multichip(8) dp gan_step ok" in out
         assert "dryrun_multichip(8) sp tiled forward ok" in out
 
-    def test_four_devices(self, graft, capsys):
+    def test_four_devices(self, graft, capfd):
         graft.dryrun_multichip(4)
-        out = capsys.readouterr().out
+        out = capfd.readouterr().out
         assert "dryrun_multichip(4) dp gan_step ok" in out
         assert "dryrun_multichip(4) sp tiled forward ok" in out
 
