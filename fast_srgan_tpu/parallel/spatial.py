@@ -401,16 +401,27 @@ def tiled_quant_upscale_u8(
 # Spatially-sharded int8 forward — the PTQ tier under width tiling
 # ---------------------------------------------------------------------------
 #
-# Why this is EXACT (same values as quant.sr_quant_forward, not an
-# approximation): the int8 tier's activation scales are STATIC (calibrated
-# constants, quant.calibrate_scales), so per-shard quantization commutes
-# with the halo concatenation — quantize(concat(halo, x)) ==
+# Why this matches quant.sr_quant_forward (not an approximation): the
+# int8 tier's activation scales are STATIC (calibrated constants,
+# quant.calibrate_scales), so per-shard quantization commutes with the
+# halo concatenation — quantize(concat(halo, x)) ==
 # concat(quantize(halo), quantize(x)) elementwise — and the frame-edge
 # zero halos quantize to int8 zero exactly (symmetric scheme), matching
 # the unsharded conv's zero padding. Instance-norm statistics are psum'd
 # (global over the frame) exactly as in the float tiled forward. The
 # sharded program therefore computes the same int8 contractions over the
-# same values; only fp32/glue reduction order can differ.
+# same values, with ONE caveat: the float trunk/glue feeding each
+# quantizer differs from the unsharded program by fp32 reduction order
+# (~1e-6 — conv blocking and psum association differ across shardings;
+# the float tiled forward carries the same spread). When such a
+# difference lands an activation exactly on a round() boundary, that
+# value quantizes one int8 level apart, and the flip amplifies to at
+# most a ~one-quantization-step band downstream (measured: <=2 uint8
+# output counts at ~1% of pixels in the rare inputs where it happens at
+# all; 0 pixels on typical fixtures — tests/test_spatial_quant.py
+# asserts 3e-7 there, __graft_entry__'s gate asserts the bounded-flip
+# contract). Bitwise sharding-invariance would require bitwise-identical
+# conv reductions across shapes, which no backend guarantees.
 
 
 def _halo_exec_conv(ex, axis_name, x, name, leaf, kernel_tf=None,

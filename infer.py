@@ -103,7 +103,9 @@ def main(argv=None) -> None:
         "the first input images, or the first decoded frames of each video "
         "stream (fast_srgan_tpu/video.py). Measured speed/quality "
         "in scripts/eval_int8.py. Composes with --bucket (exact masked "
-        "path) and with --tile (exact width-sharded int8 forward).",
+        "path) and with --tile (width-sharded int8 forward, same values "
+        "as single-device int8 up to rare one-quantization-step flips "
+        "from fp32 reduction order — parallel/spatial.py).",
     )
     parser.add_argument(
         "--tile", default=None, type=int,
@@ -148,9 +150,11 @@ def main(argv=None) -> None:
             "frames across devices, bucketing batches padded frames on one"
         )
     # --int8 composes with BOTH scaling modes: --bucket via the exact
-    # masked int8 path, --tile via the exact width-sharded int8 forward
+    # masked int8 path, --tile via the width-sharded int8 forward
     # (parallel/spatial.py build_tiled_quant_forward; asserted vs the
-    # single-device int8 tier in tests/test_spatial_quant.py).
+    # single-device int8 tier in tests/test_spatial_quant.py — same
+    # values up to rare one-step quantization flips from fp32 reduction
+    # order, see the module's sharded-int8 section comment).
     if args.video is not None:
         # Only reject EXPLICIT flags: a config carrying inference.tile/bucket
         # for directory runs must not break video invocations that never
