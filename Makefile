@@ -8,10 +8,11 @@ native:
 	g++ -O3 -std=c++17 -shared -fPIC -o csrc/libfastsr_loader.so \
 	    csrc/fastsr_loader.cpp -lpthread
 
-# Full suite: the merge gate (compile-dominated). Measured 2026-08-19 on
-# this single-core box: 333 tests, all passing, 37m04s (the earlier 323-
-# test run measured 38m07s under concurrent TPU benchmarking) — budget
-# ~25-35 min unloaded. See test-quick for the per-commit tier.
+# Full suite: the merge gate (compile-dominated). Measured 2026-08-20 on
+# this single-core box: 358 tests, all passing, 47m09s (2026-08-19: 333
+# in 37m04s; the growth is the round-5 head-policy, video-calibration,
+# per-scale-budget, and dryrun-contract tests) — budget ~35-50 min.
+# See test-quick for the per-commit tier.
 test:
 	python -m pytest tests/ -x -q
 

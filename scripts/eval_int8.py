@@ -2,7 +2,8 @@
 """Measure the int8 PTQ tier's fidelity/speed trade on the current device.
 
     python scripts/eval_int8.py [--checkpoint PATH] [--batch 96]
-        [--shape 180x320] [--frames 0] [--iters 8]
+        [--shape 180x320] [--scale {2,4,8}] [--iters 8]
+        [--calib_ab DIR|synthetic] [--psnr_percentiles P,P,...]
 
 Reports, as one JSON object:
   * quality: PSNR(int8, fp32) in the uint8 output domain on synthetic
