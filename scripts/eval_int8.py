@@ -341,7 +341,14 @@ def main():
         (a[k]["fps"] for a in arms.values() if "fps" in a.get(k, {})),
         default=None,
     )
-    fb, fi = best("bf16"), best("int8")
+    fb = best("bf16")
+    # best int8 across whichever quantized arms ran — a sweep restricted
+    # to the production arm (--arms bf16,int8_ups_only) must still report
+    # best_fps_int8/speedup instead of null
+    fi = max(
+        (f for k in host_trees if (f := best(k)) is not None),
+        default=None,
+    )
     result = {
         "device": str(jax.devices()[0].device_kind),
         "checkpoint": ckpt,
