@@ -16,11 +16,12 @@ native:
 test:
 	python -m pytest tests/ -x -q
 
-# Per-commit gate: 170 tests incl. the generator/discriminator/VGG
+# Per-commit gate: 175 tests incl. the generator/discriminator/VGG
 # torch-parity oracles and the int8 PTQ tier; skips compile-heavy
 # multi-device/full-size programs (tests/conftest.py SLOW_NODE_PATTERNS).
-# Measured 2026-08-19 on this box (1 CPU core): 2m45s-3m13s —
-# load-sensitive; budget ~3 min typical, 5 min worst-case.
+# Measured 2026-08-20 on this box (1 CPU core): 2m33s (2026-08-19:
+# 2m45s-3m13s at 170 tests) — load-sensitive; budget ~3 min typical,
+# 5 min worst-case.
 test-quick:
 	python -m pytest tests/ -x -q -m "not slow"
 
