@@ -118,11 +118,18 @@ def main():
     ckpt = args.checkpoint or resolve_default_checkpoint()
     params = load_generator_params(ckpt)
     sf = args.scale
-    if sf != 4:
+    bare = dict(params["params"] if "params" in params else params)
+    n_up = len([k for k in bare if str(k).startswith("upsampling_")])
+    if sf != 2 ** n_up:
+        if n_up != 2:
+            raise SystemExit(
+                f"--scale {sf} asked but the checkpoint is {2 ** n_up}x "
+                "and only 4x checkpoints can be stage-adapted (see "
+                "--scale help); pass a matching checkpoint"
+            )
         # adapt the 4x checkpoint's stages to the requested scale (see
         # --scale help); the upsampling convs are all F->4F so stage
         # weights transplant exactly
-        bare = dict(params["params"] if "params" in params else params)
         if sf == 2:
             bare.pop("upsampling_1")
         else:
