@@ -246,8 +246,12 @@ class SRInferenceEngine:
         if lr_tail:
             from fast_srgan_tpu.ops.lr_tail import generator_apply_lr_tail
 
+            # batch_divisor: the head policy keys on PER-DEVICE batch —
+            # under a data mesh the global jit shape overstates what each
+            # chip computes (generator_apply_lr_tail docstring).
             self._apply = functools.partial(
-                generator_apply_lr_tail, self.model
+                generator_apply_lr_tail, self.model,
+                batch_divisor=mesh.size if mesh is not None else 1,
             )
         else:
             self._apply = self.model.apply
@@ -295,6 +299,13 @@ class SRInferenceEngine:
 
             # Keep the float tree: recalibrate() re-runs the float forward.
             self._float_params = params
+            # True iff the scales came from the built-in synthetic batch
+            # (neither act_scales nor calib_batches supplied): the signal
+            # callers (video.py) use to auto-recalibrate on real inputs
+            # WITHOUT clobbering deliberately-provided calibration.
+            self.default_calibration = (
+                act_scales is None and calib_batches is None
+            )
             if act_scales is None:
                 if calib_batches is None:
                     calib_batches = [quant.default_calibration_batch()]
@@ -402,10 +413,14 @@ class SRInferenceEngine:
         Scales are jit inputs (see `__init__`), so this swaps numbers into
         the already-compiled programs — no recompilation. Use when the
         content distribution shifts (e.g. a new video stream) or to replace
-        the synthetic default calibration with real frames.
+        the synthetic default calibration with real frames. Clears
+        `default_calibration`: after an explicit recalibration the scales
+        are caller-chosen and auto-calibrating paths (video.py) must not
+        overwrite them.
         """
         if not self.quantize:
             raise ValueError("recalibrate() requires quantize=True")
+        self.default_calibration = False
         from fast_srgan_tpu import quant
 
         scales = quant.calibrate_scales(

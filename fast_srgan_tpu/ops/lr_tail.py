@@ -358,7 +358,8 @@ def lr_tail(
 
 
 def generator_apply_lr_tail(
-    model, variables: Dict[str, Any], x: jnp.ndarray, valid_hw=None
+    model, variables: Dict[str, Any], x: jnp.ndarray, valid_hw=None,
+    batch_divisor: int = 1,
 ) -> jnp.ndarray:
     """Drop-in for ``model.apply(variables, x)`` with the LR-domain tail.
 
@@ -369,6 +370,12 @@ def generator_apply_lr_tail(
     8x runs hierarchically with at most 2x-resolution tensors
     (:func:`lr_tail_8x`). The 4x head form follows the measured
     per-shape-class policy (:func:`head_form_4x`) — both forms exact.
+    ``batch_divisor``: number of devices the batch dimension is sharded
+    over (a data-parallel engine passes its mesh size). The head policy
+    keys on the PER-DEVICE batch — a global batch-8 program on an
+    8-device mesh computes one 4K frame per chip, the shape class where
+    the summed head's latency win applies, not the memory-capped
+    streaming class the global shape suggests.
     """
     if model.scale_factor not in (2, 4, 8):
         raise ValueError(
@@ -383,5 +390,13 @@ def generator_apply_lr_tail(
         mask, _ = valid_mask_nhwc(
             y.shape[1], y.shape[2], valid_hw[0], valid_hw[1]
         )
-    tail = {2: lr_tail_2x, 4: lr_tail, 8: lr_tail_8x}[model.scale_factor]
+    if model.scale_factor == 4:
+        head = head_form_4x(
+            max(1, y.shape[0] // max(1, batch_divisor)),
+            y.shape[1] * y.shape[2],
+        )
+        return lr_tail(
+            y, variables["params"], dtype=model.dtype, mask=mask, head=head
+        )
+    tail = {2: lr_tail_2x, 8: lr_tail_8x}[model.scale_factor]
     return tail(y, variables["params"], dtype=model.dtype, mask=mask)

@@ -180,6 +180,7 @@ class Trainer:
         like = self._state_tree()
         saved = io.saved_skeleton(step)
         if saved is not None and saved != tree_skeleton(like):
+            settings_mismatch = False
             if isinstance(saved, dict):
                 expected = set(tree_skeleton(like))
                 differing = sorted(
@@ -191,26 +192,39 @@ class Trainer:
                     }
                 )
                 detail = f"differing subtrees: {differing}"
+                # Different TOP-LEVEL KEY SETS (e.g. 'g_ema' present in
+                # the checkpoint but absent from this run's tree) can
+                # only come from different training settings — raise
+                # without attempting the restore, because an orbax that
+                # tolerates subset/superset restores would otherwise
+                # silently resume the wrong recipe (e.g. dropping the
+                # saved EMA params under ema_decay=0).
+                settings_mismatch = set(saved) != expected
             else:
                 detail = "saved item is not a state-tree dict"
-            # A skeleton mismatch normally means incompatible settings,
-            # but it can also be benign metadata-representation drift (a
-            # future orbax recording containers in a form tree_skeleton
-            # does not normalize). Attempt the restore anyway: if orbax
-            # accepts it the drift was cosmetic; only if it also fails do
-            # we raise the settings diagnosis (round-4 ADVICE — never
-            # hard-block a resume orbax itself would have performed).
+            settings_error = ValueError(
+                "checkpoint structure mismatch on resume: the run that "
+                "wrote this checkpoint used different training.ema_decay"
+                " / lr_schedule / grad_clip settings (these shape the "
+                f"checkpointed state tree; {detail}). Resume with the "
+                "original settings, or start a fresh run dir (checkpoint "
+                f"step {step})."
+            )
+            if settings_mismatch:
+                raise settings_error
+            # Same top-level keys but nested containers differ: normally
+            # still incompatible settings (the optax chain inside the opt
+            # states), but it can also be benign metadata-representation
+            # drift (a future orbax recording containers in a form
+            # tree_skeleton does not normalize). Attempt the restore: if
+            # orbax accepts a structurally-identical-to-`like` tree the
+            # drift was cosmetic; only if it also fails do we raise the
+            # settings diagnosis (round-4 ADVICE — never hard-block a
+            # resume orbax itself would have performed).
             try:
                 return io.restore(step, like=like)
             except Exception as e:
-                raise ValueError(
-                    "checkpoint structure mismatch on resume: the run that "
-                    "wrote this checkpoint used different training.ema_decay"
-                    " / lr_schedule / grad_clip settings (these shape the "
-                    f"checkpointed state tree; {detail}). Resume with the "
-                    "original settings, or start a fresh run dir (checkpoint "
-                    f"step {step})."
-                ) from e
+                raise settings_error from e
         return io.restore(step, like=like)
 
     def _load_state_tree(self, tree: Dict[str, Any], step: int) -> None:

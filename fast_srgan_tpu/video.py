@@ -186,7 +186,12 @@ def upscale_videos(
     # story across images/video and robustness to streams the synthetic
     # batch doesn't cover, not a PSNR win (docs/DESIGN.md "Calibration
     # source").
-    if getattr(engine, "quantize", False):
+    # Only auto-calibrate engines still on the built-in synthetic batch:
+    # caller-supplied act_scales/calib_batches (or an explicit
+    # recalibrate()) are deliberate and must not be clobbered by a clip.
+    if getattr(engine, "quantize", False) and getattr(
+        engine, "default_calibration", False
+    ):
         from itertools import islice
 
         from fast_srgan_tpu import quant
@@ -200,6 +205,9 @@ def upscale_videos(
         cb = quant.calibration_batch_from_images(first)
         if cb is not None:
             engine.recalibrate([cb])
+            # Still auto-managed: a later call calibrates on ITS streams
+            # (recalibrate() cleared the flag to protect explicit calls).
+            engine.default_calibration = True
 
     # Writer size must match the engine's scale exactly: cv2 silently DROPS
     # wrong-sized frames (an empty output that still reports success).

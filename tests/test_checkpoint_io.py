@@ -277,3 +277,77 @@ class TestDeferSigint:
             assert signal.getsignal(signal.SIGINT) is handler  # restored
         finally:
             signal.signal(signal.SIGINT, prev)
+
+
+class TestRestoreStructureGuard:
+    """Trainer._restore's decision logic (stubbed IO — no orbax on disk):
+    different TOP-LEVEL KEY SETS are a settings mismatch and must raise
+    WITHOUT attempting the restore (an orbax that tolerates subset
+    restores would silently resume the wrong recipe, e.g. dropping saved
+    EMA params under ema_decay=0); same keys with nested drift fall
+    through to orbax (benign metadata-representation drift), raising the
+    settings diagnosis only if orbax also rejects it."""
+
+    class _IO:
+        def __init__(self, skel, fail=False):
+            self.skel, self.fail, self.restored = skel, fail, 0
+
+        def saved_skeleton(self, step):
+            return self.skel
+
+        def restore(self, step, like=None):
+            self.restored += 1
+            if self.fail:
+                raise RuntimeError("orbax structure rejection")
+            return {"restored": True}
+
+    def _host(self, tree):
+        from fast_srgan_tpu.train.trainer import Trainer
+
+        class _Host:
+            _restore = Trainer._restore
+
+            def _state_tree(self):
+                return tree
+
+        return _Host()
+
+    def test_extra_top_key_raises_without_restore(self):
+        import numpy as np
+        import pytest
+
+        like = {"g": {"w": np.zeros(2)}, "d": {"w": np.zeros(2)}}
+        saved_skel = {"g": {"w": None}, "d": {"w": None}, "g_ema": {"w": None}}
+        io = self._IO(saved_skel)
+        with pytest.raises(ValueError, match="structure mismatch"):
+            self._host(like)._restore(io, 7)
+        assert io.restored == 0  # never handed to orbax
+
+    def test_missing_top_key_raises_without_restore(self):
+        import numpy as np
+        import pytest
+
+        like = {"g": {"w": np.zeros(2)}, "g_ema": {"w": np.zeros(2)}}
+        io = self._IO({"g": {"w": None}})
+        with pytest.raises(ValueError, match="structure mismatch"):
+            self._host(like)._restore(io, 7)
+        assert io.restored == 0
+
+    def test_nested_drift_falls_through_to_orbax(self):
+        import numpy as np
+
+        like = {"g": {"w": np.zeros(2)}}
+        # same top-level keys, differently-recorded nested container
+        io = self._IO({"g": [None]})
+        out = self._host(like)._restore(io, 7)
+        assert out == {"restored": True} and io.restored == 1
+
+    def test_nested_drift_orbax_rejection_raises_diagnosis(self):
+        import numpy as np
+        import pytest
+
+        like = {"g": {"w": np.zeros(2)}}
+        io = self._IO({"g": [None]}, fail=True)
+        with pytest.raises(ValueError, match="structure mismatch"):
+            self._host(like)._restore(io, 7)
+        assert io.restored == 1

@@ -208,6 +208,30 @@ class TestHeadPolicy:
             atol=2e-5,
         )
 
+    def test_policy_sees_per_device_batch(self, monkeypatch):
+        """Under a data mesh the engine passes batch_divisor=mesh.size:
+        the policy must key on per-device batch (a global batch-8 4K
+        program on 8 chips is one frame per chip — the summed-head
+        latency class, not the memory-capped streaming class)."""
+        import fast_srgan_tpu.ops.lr_tail as lt
+
+        seen = []
+        real = lt.head_form_4x
+
+        def spy(batch, px):
+            seen.append((batch, px))
+            return real(batch, px)
+
+        monkeypatch.setattr(lt, "head_form_4x", spy)
+        model = Generator(n_filters=8, n_layers=1, dtype=jnp.float32)
+        x = jnp.zeros((8, 8, 8, 3))
+        v = model.init(jax.random.PRNGKey(0), x)
+        lt.generator_apply_lr_tail(model, v, x, batch_divisor=8)
+        assert seen == [(1, 64)]
+        seen.clear()
+        lt.generator_apply_lr_tail(model, v, x)  # single device
+        assert seen == [(8, 64)]
+
     def test_rejects_bad_head(self):
         model = Generator(n_filters=16, n_layers=1, dtype=jnp.float32)
         x = jnp.zeros((1, 8, 8, 3))

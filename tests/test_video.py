@@ -171,6 +171,64 @@ class TestMultiStream:
         )
         assert changed
 
+    def test_video_int8_respects_caller_calibration(self, tmp_path):
+        """Caller-supplied calibration (calib_batches/act_scales or an
+        explicit recalibrate()) must NOT be clobbered by the video path's
+        auto-calibration — only default-calibrated engines re-scale."""
+        from fast_srgan_tpu.video import upscale_videos
+
+        src = self._make_video(
+            str(tmp_path / "c.mp4"), 9, seed=11, size=(48, 48)
+        )
+        model = Generator(n_filters=8, n_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        rng = np.random.default_rng(4)
+        curated = (
+            rng.uniform(-1, 1, (2, 40, 40, 3)).astype(np.float32)
+        )
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32,
+            quantize=True, calib_batches=[curated],
+        )
+        assert engine.default_calibration is False
+        before = jax.tree_util.tree_map(np.asarray, engine.params["s"])
+        stats = upscale_videos(
+            engine, [src], [str(tmp_path / "c4x.mp4")], batch_size=4
+        )
+        assert stats["frames"] == 9
+        after = jax.tree_util.tree_map(np.asarray, engine.params["s"])
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal, after, before
+        )
+
+    def test_auto_engine_recalibrates_per_call(self, tmp_path):
+        """A default-calibrated engine stays auto-managed: a second
+        upscale_videos call calibrates on ITS streams, not the first's."""
+        from itertools import islice
+
+        from fast_srgan_tpu import quant
+        from fast_srgan_tpu.video import upscale_videos
+
+        a = self._make_video(str(tmp_path / "a.mp4"), 9, seed=7, size=(48, 48))
+        b = self._make_video(str(tmp_path / "b.mp4"), 9, seed=21, size=(48, 48))
+        model = Generator(n_filters=8, n_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        engine = SRInferenceEngine(
+            params, n_filters=8, n_layers=1, dtype=jnp.float32,
+            quantize=True,
+        )
+        assert engine.default_calibration is True
+        upscale_videos(engine, [a], [str(tmp_path / "a4.mp4")], batch_size=4)
+        assert engine.default_calibration is True  # still auto-managed
+        upscale_videos(engine, [b], [str(tmp_path / "b4.mp4")], batch_size=4)
+        first = list(islice(iter_video_frames(b, limit=8), 8))
+        cb = quant.calibration_batch_from_images(first)
+        expected = quant.calibrate_scales(params, [cb], 4)
+        got = jax.tree_util.tree_map(np.asarray, engine.params["s"])
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal, got, expected
+        )
+
     def test_mixed_sizes_rejected(self, tmp_path):
         from fast_srgan_tpu.video import upscale_videos
 
